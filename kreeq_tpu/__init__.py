@@ -1,0 +1,24 @@
+"""kreeq-tpu: a TPU-native k-mer quality-evaluation engine.
+
+A from-scratch re-architecture of the capabilities of vgl-hub/kreeq
+(reference: /root/reference) for TPU hardware.  The compute path
+(canonical k-mer extraction, counting, probing) runs as JAX/XLA
+programs — sorted-array tables + vectorized searchsorted probes replace
+the reference's 128-way parallel hash maps (reference:
+include/kreeq.h:138-148), and device collectives replace its
+file-based `union` merge (reference: src/graph-builder.cpp:297-351).
+
+Keys are 64-bit reversible 2-bit packings of canonical k-mers
+(first base in the low bits; A=0 C=1 G=2 T=3; canonical = min of the
+packing of the k-mer and of its reverse complement), byte-compatible
+with the on-disk `.kreeq` databases produced by the reference
+(validated against testFiles/test1.kreeq).
+"""
+
+import jax as _jax
+
+# 64-bit keys (k <= 32 -> up to 64-bit packed k-mers) require x64 mode.
+# Must be set before any JAX computation runs.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

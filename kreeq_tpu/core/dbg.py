@@ -1,0 +1,153 @@
+"""DBG workload driver: build/load tables, QV validation, reporting.
+
+Orchestration equivalent of the reference's DBG class methods
+validateSequences/DBstats/report (reference: src/kreeq.cpp:47-108,
+src/graph-builder.cpp:284-295, src/kreeq-output.cpp:34-136), with the
+out-of-core map-window paging loops collapsed away: the whole table is
+device-resident, so every "for each RAM-fitting window of partitions"
+rescan (reference: src/kreeq.cpp:59-76) becomes a single batched pass.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import UserInput, get_file_ext
+from ..io.sequence import Genome, SEGMENT
+from ..utils.fmt import cpp_double
+from .table import KmerTable
+
+
+def error_rate(missing: int, total: int, k: int) -> float:
+    """Reference: src/kreeq.cpp:36-40."""
+    if total == 0:
+        return float("nan")
+    return 1 - (1 - missing / total) ** (1 / k)
+
+
+def _bucket(n: int) -> int:
+    """Pad to a power-of-two bucket to bound JIT recompilation."""
+    return 1 << max(6, int(math.ceil(math.log2(max(n, 1) + 1))))
+
+
+@dataclass
+class SegmentTrack:
+    """Per-base validation track of one segment (DBGbase equivalent,
+    reference: include/input.h:4-9)."""
+
+    cov: np.ndarray  # u32 [len]
+    isfw: np.ndarray  # bool [len]
+    right: np.ndarray  # u32 [len]  (edge toward higher coordinates)
+    left: np.ndarray  # u32 [len]
+
+
+class DBG:
+    """The k-mer DB plus workloads against a loaded genome."""
+
+    def __init__(self, user_input: UserInput, table: KmerTable) -> None:
+        self.ui = user_input
+        self.table = table
+        self.genome: Optional[Genome] = None
+        self.tracks: List[Optional[SegmentTrack]] = []
+        self.tot_missing = 0
+        self.tot_kcount = 0
+        self.tot_edge_missing = 0
+
+    @property
+    def k(self) -> int:
+        return self.table.k
+
+    # -- summary -----------------------------------------------------------
+
+    def db_stats_lines(self) -> List[str]:
+        """Reference: src/graph-builder.cpp:284-295 (DBstats)."""
+        st = self.table.stats()
+        return [
+            "DBG Summary statistics:",
+            f"Total kmers: {st.total}",
+            f"Unique kmers: {st.unique}",
+            f"Distinct kmers: {st.distinct}",
+            f"Missing kmers: {st.missing(self.k)}",
+            f"Total edges: {st.edges}",
+        ]
+
+    def print_db_stats(self, out=None) -> None:
+        out = out or sys.stdout
+        out.write("\n".join(self.db_stats_lines()) + "\n")
+
+    # -- validation (QV) ---------------------------------------------------
+
+    def load_genome(self, genome: Genome) -> None:
+        self.genome = genome
+
+    def validate_sequences(self, out=None) -> None:
+        """QV computation + per-base tracks (reference:
+        src/kreeq.cpp:47-108)."""
+        out = out or sys.stdout
+        if not self.ui.in_sequence:
+            return
+        import jax.numpy as jnp
+
+        from ..ops.validate import validate_positions
+
+        k = self.k
+        self.tracks = []
+        tkeys, tcov, tfw, tbw = self.table.device_arrays() if len(
+            self.table) else (jnp.zeros(1, jnp.uint64) - 1,
+                              jnp.zeros(1, jnp.uint32),
+                              jnp.zeros((1, 4), jnp.uint32),
+                              jnp.zeros((1, 4), jnp.uint32))
+        for seg in self.genome.segments:
+            ln = len(seg)
+            if ln < k:
+                self.tracks.append(
+                    SegmentTrack(np.zeros(ln, np.uint32),
+                                 np.zeros(ln, bool),
+                                 np.zeros(ln, np.uint32),
+                                 np.zeros(ln, np.uint32)))
+                continue
+            codes = seg.codes
+            nbuf = _bucket(ln)
+            buf = np.full(nbuf, 4, np.uint8)
+            buf[:ln] = codes
+            (valid, missing, edge_missing, cov, isfw, right,
+             left) = validate_positions(tkeys, tcov, tfw, tbw,
+                                        jnp.asarray(buf), k,
+                                        self.ui.cov_cutoff)
+            kcount = ln - k + 1
+            valid = np.asarray(valid[:kcount])
+            self.tot_missing += int(np.asarray(missing[:kcount]).sum())
+            self.tot_edge_missing += int(
+                np.asarray(edge_missing[:kcount]).sum())
+            self.tot_kcount += kcount
+            track = SegmentTrack(np.zeros(ln, np.uint32),
+                                 np.zeros(ln, bool),
+                                 np.zeros(ln, np.uint32),
+                                 np.zeros(ln, np.uint32))
+            track.cov[:kcount] = np.asarray(cov[:kcount])
+            track.isfw[:kcount] = np.asarray(isfw[:kcount])
+            track.right[:kcount] = np.asarray(right[:kcount])
+            track.left[:kcount] = np.asarray(left[:kcount])
+            self.tracks.append(track)
+
+        if "." in self.ui.out_file or self.ui.out_file == "":
+            def qv(err: float) -> float:
+                if math.isnan(err):
+                    return float("nan")
+                return -10 * math.log10(err) if err > 0 else float("inf")
+
+            out.write("Missing\tTotal\tQV\tError\tk\tMethod\n")
+            merr = error_rate(self.tot_missing, self.tot_kcount, k)
+            out.write(f"{self.tot_missing}\t{self.tot_kcount}\t"
+                      f"{cpp_double(qv(merr))}\t{cpp_double(merr)}\t{k}\t"
+                      f"Merqury\n")
+            kerr = error_rate(self.tot_missing + self.tot_edge_missing,
+                              self.tot_kcount, k)
+            out.write(f"{self.tot_missing + self.tot_edge_missing}\t"
+                      f"{self.tot_kcount}\t{cpp_double(qv(kerr))}\t"
+                      f"{cpp_double(kerr)}\t{k}\tKreeq\n")

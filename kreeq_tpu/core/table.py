@@ -1,0 +1,173 @@
+"""KmerTable: the device-resident sorted k-mer count table.
+
+Replaces the reference's 128 u8 hash maps + u32 overflow maps
+(reference: include/kreeq.h:138-148, maps/maps32) with a single sorted
+structure-of-arrays {keys u64, cov u32, fw u32[4], bw u32[4]}.  The
+two-level u8/u32 scheme is a CPU RAM optimization; on TPU a flat u32
+SoA is strictly better and is observably equivalent (the reference
+migrates a record to u32 before any counter can clip, so all observable
+counts are exact u32 with LARGEST saturation — reference:
+src/graph-builder.cpp:160-205).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+MAP_COUNT = 128  # on-disk partition count, pinned by .kreeq/.index files
+
+
+@dataclass
+class TableStats:
+    total: int
+    unique: int
+    distinct: int
+    edges: int
+    histogram: Dict[int, int]
+
+    def missing(self, k: int) -> int:
+        return 4 ** k - self.distinct
+
+
+@dataclass
+class KmerTable:
+    """Sorted unique k-mer table (host numpy; device cache on demand)."""
+
+    k: int
+    keys: np.ndarray  # u64 [n], sorted ascending
+    cov: np.ndarray  # u32 [n]
+    fw: np.ndarray  # u32 [n, 4]
+    bw: np.ndarray  # u32 [n, 4]
+    _device: Optional[tuple] = field(default=None, repr=False)
+
+    @classmethod
+    def empty(cls, k: int) -> "KmerTable":
+        return cls(k, np.zeros(0, np.uint64), np.zeros(0, np.uint32),
+                   np.zeros((0, 4), np.uint32), np.zeros((0, 4), np.uint32))
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_reads(cls, read_files: Iterable[str], k: int,
+                   chunk: int = 1 << 20) -> "KmerTable":
+        """Count canonical k-mers of all reads on device.
+
+        Device pipeline per chunk: kmer_positions -> count_sorted; the
+        per-chunk unique tables are reduced by pairwise device merges
+        (replaces reference build phase, src/graph-builder.cpp:34-223).
+        """
+        import jax.numpy as jnp
+
+        from ..io.fastx import iter_reads
+        from ..ops import kmers as K
+
+        def read_iter():
+            for path in read_files:
+                yield from iter_reads(path)
+
+        acc = None  # (keys, cov, fw, bw) trimmed device arrays
+        for buf in K.pack_reads(read_iter(), k, chunk):
+            keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
+            ukeys, cov, fw, bw, n = K.count_sorted(keys, edges, valid)
+            n = int(n)
+            part = (ukeys[:n], cov[:n], fw[:n], bw[:n])
+            if acc is None:
+                acc = part
+            else:
+                m = acc[0].shape[0] + n
+                mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*acc, *part)
+                nm = int(nm)
+                acc = (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
+                del m
+        if acc is None:
+            return cls.empty(k)
+        return cls(k, *(np.asarray(a) for a in acc))
+
+    @classmethod
+    def from_entries(cls, k: int, entries: Dict[int, tuple]) -> "KmerTable":
+        """Build from {key: (fw0..fw3, bw0..bw3, cov)} host entries."""
+        if not entries:
+            return cls.empty(k)
+        keys = np.fromiter(entries.keys(), np.uint64, len(entries))
+        order = np.argsort(keys, kind="stable")
+        vals = np.array(list(entries.values()), np.uint32)[order]
+        return cls(k, keys[order], vals[:, 8].copy(),
+                   vals[:, 0:4].copy(), vals[:, 4:8].copy())
+
+    def merge(self, other: "KmerTable") -> "KmerTable":
+        """Union with saturating adds (replaces `kreeq union`,
+        reference: src/graph-builder.cpp:297-351)."""
+        import jax.numpy as jnp
+
+        from ..ops import kmers as K
+
+        if len(self) == 0:
+            return other
+        if len(other) == 0:
+            return self
+        mkeys, mcov, mfw, mbw, n = K.merge_sorted(
+            jnp.asarray(self.keys), jnp.asarray(self.cov),
+            jnp.asarray(self.fw), jnp.asarray(self.bw),
+            jnp.asarray(other.keys), jnp.asarray(other.cov),
+            jnp.asarray(other.fw), jnp.asarray(other.bw))
+        n = int(n)
+        return KmerTable(self.k, *(np.asarray(a[:n]) for a in
+                                   (mkeys, mcov, mfw, mbw)))
+
+    # -- probing -----------------------------------------------------------
+
+    def device_arrays(self):
+        import jax.numpy as jnp
+
+        if self._device is None:
+            self._device = (jnp.asarray(self.keys), jnp.asarray(self.cov),
+                            jnp.asarray(self.fw), jnp.asarray(self.bw))
+        return self._device
+
+    def probe(self, qkeys) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+        """Vectorized lookup: (found, cov, fw[.,4], bw[.,4])."""
+        import jax.numpy as jnp
+
+        from ..ops import kmers as K
+
+        if len(self) == 0:
+            q = np.asarray(qkeys)
+            return (np.zeros(len(q), bool), np.zeros(len(q), np.uint32),
+                    np.zeros((len(q), 4), np.uint32),
+                    np.zeros((len(q), 4), np.uint32))
+        tkeys, cov, fw, bw = self.device_arrays()
+        found, qcov, qfw, qbw = K.probe_sorted(tkeys, cov, fw, bw,
+                                               jnp.asarray(qkeys))
+        return (np.asarray(found), np.asarray(qcov), np.asarray(qfw),
+                np.asarray(qbw))
+
+    def lookup(self, key: int):
+        """Scalar host lookup: (fw[4], bw[4], cov) or None."""
+        i = np.searchsorted(self.keys, np.uint64(key))
+        if i < len(self.keys) and self.keys[i] == np.uint64(key):
+            return self.fw[i], self.bw[i], int(self.cov[i])
+        return None
+
+    # -- statistics --------------------------------------------------------
+
+    def stats(self) -> TableStats:
+        """DBG summary numbers (reference: src/graph-builder.cpp:240-295).
+
+        "Total edges" reproduces the reference's ternary-precedence
+        accident: an edge slot counts once if either the fw or bw
+        counter is non-zero (reference: src/graph-builder.cpp:253-254).
+        """
+        distinct = len(self.keys)
+        total = int(self.cov.astype(np.uint64).sum())
+        unique = int((self.cov == 1).sum())
+        edges = int(((self.fw > 0) | (self.bw > 0)).sum())
+        vals, counts = np.unique(self.cov, return_counts=True)
+        hist = {int(v): int(c) for v, c in zip(vals, counts)}
+        return TableStats(total, unique, distinct, edges, hist)

@@ -1,0 +1,177 @@
+"""Reader/writer for `.kreeq` databases (phmap binary-archive format).
+
+A `.kreeq` DB is a directory with:
+  /.index        two text lines: k, mapCount (reference:
+                 src/kreeq-output.cpp:88-94; read src/input.cpp:56-74)
+  /.map.N.bin    N in 0..mapCount-1, phmap dump of the u8 partition
+                 (keys with key % mapCount == N)
+  /.map.hc.bin   phmap dump of the u32 high-copy partition
+
+phmap dump layout (validated byte-for-byte against
+testFiles/test1.kreeq with the vendored parallel-hashmap's
+BinaryOutputArchive):
+  u64 submap_count (256)
+  per submap: u64 version (0xFFFFFFFFFFFFFFF5), u64 size, u64 capacity;
+  if size > 0: ctrl bytes (capacity + 17: capacity ctrl + sentinel +
+  16 clones), slots (capacity * slot_size), u64 growth_left.
+  slot_size = 24 for u8 records (u64 key + DBGkmer{u8 fw[4],bw[4],cov}
+  + 7 pad), 48 for u32 records (u64 key + DBGkmer32{u32 fw[4],bw[4],
+  cov} + 4 pad).
+
+The u8/u32 split follows the reference's overflow semantics: records
+whose cov or any edge counter is >= 255 live in the u32 map with a
+cov=255 tombstone in the u8 map (reference:
+src/graph-builder.cpp:186-205).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..core.table import MAP_COUNT, KmerTable
+
+PHMAP_VERSION = 0xFFFFFFFFFFFFFFF5
+SUBMAP_COUNT = 256
+SLOT_U8 = 24
+SLOT_U32 = 48
+
+
+def parse_phmap(data: bytes, slot_size: int):
+    """Yield (key, value_bytes) from a phmap parallel-map dump."""
+    off = 0
+    (subcnt,) = struct.unpack_from("<Q", data, off)
+    off += 8
+    for _ in range(subcnt):
+        ver, size, cap = struct.unpack_from("<QQQ", data, off)
+        off += 24
+        if ver != PHMAP_VERSION:
+            raise ValueError(f"bad phmap version marker {ver:#x}")
+        if size == 0:
+            continue
+        nctrl = cap + 17
+        ctrl = data[off:off + nctrl]
+        off += nctrl
+        for i in range(cap):
+            if ctrl[i] & 0x80 == 0:  # full slot
+                so = off + i * slot_size
+                (key,) = struct.unpack_from("<Q", data, so)
+                yield key, data[so + 8:so + slot_size]
+        off += cap * slot_size + 8  # slots + growth_left
+    if off != len(data):
+        raise ValueError(f"trailing bytes in phmap dump: {off}/{len(data)}")
+
+
+def read_index(db_path: str) -> Tuple[int, int]:
+    with open(os.path.join(db_path, ".index")) as fh:
+        k = int(fh.readline())
+        line = fh.readline().strip()
+        map_count = int(line) if line else MAP_COUNT
+    return k, map_count
+
+
+def read_kreeq(db_path: str) -> KmerTable:
+    """Load a `.kreeq` DB into a KmerTable (u8 + high-copy merged)."""
+    k, map_count = read_index(db_path)
+    entries: Dict[int, tuple] = {}
+    tombstones = []
+    for m in range(map_count):
+        path = os.path.join(db_path, f".map.{m}.bin")
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for key, vb in parse_phmap(data, SLOT_U8):
+            rec = struct.unpack_from("<9B", vb)
+            if rec[8] == 255:  # tombstone -> value lives in the hc map
+                tombstones.append(key)
+            else:
+                entries[key] = rec
+    hc_path = os.path.join(db_path, ".map.hc.bin")
+    if os.path.exists(hc_path):
+        with open(hc_path, "rb") as fh:
+            data = fh.read()
+        for key, vb in parse_phmap(data, SLOT_U32):
+            entries[key] = struct.unpack_from("<9I", vb)
+    for key in tombstones:
+        if key not in entries:
+            raise ValueError(
+                f"int32 map missing 255 value from int8 map: key {key}")
+    return KmerTable.from_entries(k, entries)
+
+
+def _write_phmap(path: str, items, slot_size: int, pack_value) -> None:
+    """Write a phmap-layout dump (single-submap placement).
+
+    Readable by this framework; structural (not placement-) compatible
+    with phmap.  items: iterable of (key, record tuple).
+    """
+    items = list(items)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<Q", SUBMAP_COUNT))
+        per_sub = [[] for _ in range(SUBMAP_COUNT)]
+        for key, rec in items:
+            per_sub[(key >> 7) & 0xFF].append((key, rec))
+        for sub in per_sub:
+            size = len(sub)
+            if size == 0:
+                fh.write(struct.pack("<QQQ", PHMAP_VERSION, 0, 0))
+                continue
+            cap = 1
+            while cap < size or cap * 7 // 8 < size:
+                cap = cap * 2 + 1
+            fh.write(struct.pack("<QQQ", PHMAP_VERSION, size, cap))
+            ctrl = bytearray([0x80] * (cap + 17))
+            slots = bytearray(cap * slot_size)
+            for i, (key, rec) in enumerate(sub):
+                ctrl[i] = key & 0x7F  # H2-like tag; any value < 0x80 works
+                struct.pack_into("<Q", slots, i * slot_size, key)
+                pack_value(slots, i * slot_size + 8, rec)
+            ctrl[cap] = 0xFF  # sentinel
+            fh.write(bytes(ctrl))
+            fh.write(bytes(slots))
+            fh.write(struct.pack("<Q", max(cap * 7 // 8 - size, 0)))
+
+
+def write_kreeq(db_path: str, table: KmerTable,
+                map_count: int = MAP_COUNT) -> None:
+    """Write a KmerTable as a `.kreeq` DB directory."""
+    os.makedirs(db_path, exist_ok=True)
+    with open(os.path.join(db_path, ".index"), "w") as fh:
+        fh.write(f"{table.k}\n{map_count}\n")
+
+    keys = table.keys
+    cov = table.cov
+    fw = table.fw
+    bw = table.bw
+    overflow = (cov >= 255) | (fw >= 255).any(axis=1) | (bw >= 255).any(
+        axis=1)
+
+    def pack_u8(buf, off, rec):
+        struct.pack_into("<9B", buf, off, *rec)
+
+    def pack_u32(buf, off, rec):
+        struct.pack_into("<9I", buf, off, *rec)
+
+    part = keys % np.uint64(map_count)
+    for m in range(map_count):
+        sel = np.nonzero(part == m)[0]
+        items = []
+        for i in sel:
+            key = int(keys[i])
+            if overflow[i]:
+                rec = tuple(np.minimum(fw[i], 254)) + tuple(
+                    np.minimum(bw[i], 254)) + (255,)
+            else:
+                rec = tuple(fw[i]) + tuple(bw[i]) + (int(cov[i]),)
+            items.append((key, rec))
+        _write_phmap(os.path.join(db_path, f".map.{m}.bin"), items, SLOT_U8,
+                     pack_u8)
+
+    hc_items = [(int(keys[i]), tuple(fw[i]) + tuple(bw[i]) + (int(cov[i]),))
+                for i in np.nonzero(overflow)[0]]
+    _write_phmap(os.path.join(db_path, ".map.hc.bin"), hc_items, SLOT_U32,
+                 pack_u32)

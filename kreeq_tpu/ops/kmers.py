@@ -1,0 +1,233 @@
+"""Device kernels: canonical k-mer extraction, counting, probing.
+
+This is the TPU-native replacement for the reference's two hot loops:
+per-base hashing into 128 hash-map partitions (reference:
+src/graph-builder.cpp:75-113, 160-205) and the per-base probe
+(reference: src/kreeq.cpp:143-219).
+
+Architecture (idiomatic XLA, not a translation):
+  * sequences arrive as fixed-size uint8 code chunks (BAD=4 separates
+    reads and marks non-ACGT bases),
+  * every position's canonical key is computed by k fully-vectorized
+    shifted ORs (key = OR_i code[p+i] << 2i; canonical = min(fw, rc),
+    isFw = fw <= rc — encoding validated against testFiles/test1.kreeq),
+  * the "hash map" is a sorted array: counting = sort + run-detection +
+    cumsum-difference segment sums; probing = vectorized binary search
+    (searchsorted) + gathers.
+
+All shapes are static; run compaction uses masked scatters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BAD
+
+# Sentinel key sorting after every real key.  Canonical keys are
+# min(fw, rc) so even for k == 32 the all-ones pattern (TTT...T, whose
+# reverse complement AAA...A packs to 0) can never be a canonical key.
+SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+LARGEST = jnp.uint64(0xFFFFFFFF)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def kmer_positions(codes: jax.Array, k: int):
+    """Compute per-position canonical keys, orientation, edge bits, validity.
+
+    codes: uint8[N] (values 0-3 bases, BAD elsewhere).
+    Returns (keys u64[P], isfw bool[P], edges u8[P], valid bool[P]) with
+    P = N - k + 1.
+
+    Edge-bit layout (internal; unlike the reference's MSB-first edgeBit,
+    reference include/kreeq.h:6-18): bit w = fw edge to base w, bit 4+w
+    = bw edge to base w.  Semantics mirror reference
+    src/graph-builder.cpp:100-110 (validated against test1.kreeq).
+    """
+    n = codes.shape[0]
+    p = n - k + 1
+    c64 = codes.astype(jnp.uint64)
+    fw = jnp.zeros((p,), dtype=jnp.uint64)
+    rc = jnp.zeros((p,), dtype=jnp.uint64)
+    for i in range(k):
+        a = jax.lax.dynamic_slice(c64, (i,), (p,))
+        fw = fw | ((a & 3) << jnp.uint64(2 * i))
+        rc = rc | ((3 - (a & 3)) << jnp.uint64(2 * (k - 1 - i)))
+    isfw = fw <= rc
+    keys = jnp.where(isfw, fw, rc)
+
+    # validity: no BAD code inside the window
+    bad = (codes > 3).astype(jnp.int32)
+    cbad = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
+    valid = (cbad[k:] - cbad[:p]) == 0
+
+    # neighbours (BAD when outside the chunk)
+    prev = jnp.concatenate([jnp.full((1,), BAD, jnp.uint8), codes[: p - 1]])
+    nxt = jnp.concatenate([codes[k:], jnp.full((1,), BAD, jnp.uint8)])
+    prev_ok = prev <= 3
+    next_ok = nxt <= 3
+    one = jnp.uint8(1)
+    zero = jnp.uint8(0)
+    pc = (prev & 3).astype(jnp.uint8)
+    nc = (nxt & 3).astype(jnp.uint8)
+    e_fw = (jnp.where(next_ok, one << nc, zero)
+            | jnp.where(prev_ok, one << (4 + pc), zero)).astype(jnp.uint8)
+    e_rc = (jnp.where(prev_ok, one << (3 - pc), zero)
+            | jnp.where(next_ok, one << (4 + 3 - nc), zero)).astype(jnp.uint8)
+    edges = jnp.where(isfw, e_fw, e_rc)
+    return keys, isfw, edges, valid
+
+
+def _runs(keys):
+    """Run-boundary helpers for a sorted key array."""
+    starts = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
+    ends = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
+    run_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    return starts, ends, run_id
+
+
+@jax.jit
+def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
+    """Aggregate (key, edgebits) records into a sorted unique table.
+
+    Replaces the reference's per-record hash-map update loop (reference:
+    src/graph-builder.cpp:160-205) with sort + cumsum-difference run
+    sums.  Returns padded arrays (ukeys u64[P] sorted with SENTINEL
+    padding, cov u32[P], fw u32[P,4], bw u32[P,4]) plus n (u32 scalar).
+    """
+    p = keys.shape[0]
+    skeys = jnp.where(valid, keys, SENTINEL)
+    sedges = jnp.where(valid, edges, 0).astype(jnp.uint32)
+    skeys, sedges = jax.lax.sort((skeys, sedges), num_keys=1)
+
+    starts, ends, run_id = _runs(skeys)
+    real = skeys != SENTINEL
+    n = jnp.sum((starts & real).astype(jnp.uint32))
+
+    # per-run sums via cumsum differences gathered at run ends
+    pos = jnp.arange(p, dtype=jnp.int32)
+    run_start = jax.lax.cummax(jnp.where(starts, pos, 0))
+    out_idx = jnp.where(ends & real, run_id, p)  # p = dropped
+
+    def run_sum(col):
+        c = jnp.concatenate([jnp.zeros((1,), jnp.uint32), jnp.cumsum(col)])
+        sums = c[pos + 1] - c[run_start]
+        out = jnp.zeros((p + 1,), jnp.uint32)
+        return out.at[out_idx].set(sums, mode="drop")[:p]
+
+    cov = run_sum(jnp.ones((p,), jnp.uint32))
+    fw = jnp.stack([run_sum((sedges >> w) & 1) for w in range(4)], axis=1)
+    bw = jnp.stack([run_sum((sedges >> (4 + w)) & 1) for w in range(4)],
+                   axis=1)
+    ukeys = jnp.full((p + 1,), SENTINEL, jnp.uint64).at[out_idx].set(
+        skeys, mode="drop")[:p]
+    return ukeys, cov, fw, bw, n
+
+
+@jax.jit
+def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
+    """Merge two sorted unique tables with saturating u32 adds.
+
+    Device-native replacement for the reference's submap-parallel union
+    (reference: src/graph-builder.cpp:297-432); saturation bound LARGEST
+    per reference include/kreeq.h:68.
+    """
+    keys = jnp.concatenate([keys_a, keys_b])
+    cov = jnp.concatenate([cov_a, cov_b])
+    fw = jnp.concatenate([fw_a, fw_b])
+    bw = jnp.concatenate([bw_a, bw_b])
+    order = jnp.argsort(keys)
+    keys, cov, fw, bw = keys[order], cov[order], fw[order], bw[order]
+    p = keys.shape[0]
+
+    starts, _ends, run_id = _runs(keys)
+    real = keys != SENTINEL
+    n = jnp.sum((starts & real).astype(jnp.uint32))
+
+    # each key appears at most twice (once per input table)
+    nxt_same = jnp.concatenate([keys[1:] == keys[:-1],
+                                jnp.zeros((1,), bool)])
+
+    def satadd(x, y):
+        s = x.astype(jnp.uint64) + y.astype(jnp.uint64)
+        return jnp.minimum(s, LARGEST).astype(jnp.uint32)
+
+    def nxt(a):
+        return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])])
+
+    cov2 = jnp.where(nxt_same, satadd(cov, nxt(cov)), cov)
+    fw2 = jnp.where(nxt_same[:, None], satadd(fw, nxt(fw)), fw)
+    bw2 = jnp.where(nxt_same[:, None], satadd(bw, nxt(bw)), bw)
+
+    out_idx = jnp.where(starts & real, run_id, p)
+    okeys = jnp.full((p + 1,), SENTINEL, jnp.uint64).at[out_idx].set(
+        keys, mode="drop")[:p]
+
+    def scat(v):
+        out = jnp.zeros((p + 1,) + v.shape[1:], v.dtype)
+        return out.at[out_idx].set(v, mode="drop")[:p]
+
+    return okeys, scat(cov2), scat(fw2), scat(bw2), n
+
+
+@jax.jit
+def probe_sorted(tkeys, cov, fw, bw, qkeys):
+    """Batched membership + payload gather against a sorted table.
+
+    Replaces the reference's per-base hash probe (reference:
+    src/kreeq.cpp:143-219 evaluateSegment inner loop).  tkeys is sorted
+    with SENTINEL padding.  Returns (found bool[Q], cov u32[Q],
+    fw u32[Q,4], bw u32[Q,4]).
+    """
+    idx = jnp.searchsorted(tkeys, qkeys)
+    idx = jnp.minimum(idx, tkeys.shape[0] - 1)
+    found = tkeys[idx] == qkeys
+    z32 = jnp.uint32(0)
+    qcov = jnp.where(found, cov[idx], z32)
+    qfw = jnp.where(found[:, None], fw[idx], z32)
+    qbw = jnp.where(found[:, None], bw[idx], z32)
+    return found, qcov, qfw, qbw
+
+
+# ---------------------------------------------------------------------------
+# host-side packing
+
+
+def pack_reads(seqs, k: int, chunk: int):
+    """Pack read code arrays into BAD-separated uint8 chunks.
+
+    Reads are never split across chunks (edge context must stay intact;
+    the reference processes whole read batches for the same reason,
+    reference: src/graph-builder.cpp:75-91).  Reads longer than the
+    chunk size are emitted as dedicated right-sized chunks (padded to a
+    power of two to bound recompilation).
+    """
+    from ..constants import seq_to_codes
+
+    buf = np.full(chunk, BAD, dtype=np.uint8)
+    pos = 0
+    for seq in seqs:
+        codes = seq_to_codes(seq) if isinstance(seq, str) else seq
+        m = len(codes)
+        if m > chunk - 1:
+            if pos > 0:
+                yield buf
+                buf = np.full(chunk, BAD, dtype=np.uint8)
+                pos = 0
+            big = 1 << int(np.ceil(np.log2(m + 1)))
+            bigbuf = np.full(big, BAD, dtype=np.uint8)
+            bigbuf[:m] = codes
+            yield bigbuf
+            continue
+        if pos + m + 1 > chunk:
+            yield buf
+            buf = np.full(chunk, BAD, dtype=np.uint8)
+            pos = 0
+        buf[pos:pos + m] = codes
+        pos += m + 1  # one BAD separator
+    if pos > 0:
+        yield buf

@@ -1,0 +1,64 @@
+"""Fused assembly-validation kernel: probe + per-base QV classification.
+
+Vectorized re-expression of the reference's evaluateSegment
+(reference: src/kreeq.cpp:110-229): for every k-mer position of a
+segment, look its canonical key up in the table, then classify it as
+missing (cov == 0 or cov < covCutOff) or edge-missing (both the left
+and right edge counters for the actual neighbour bases are zero).
+
+Output per position: cov, isFw, right-edge count, left-edge count —
+the right/left orientation-normalized pair is what the reference stores
+as DBGbase.fw/bw after its isFw shuffle (reference:
+src/kreeq.cpp:177-210 with the printTable swap at
+src/kreeq-output.cpp:197-207).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kmers import kmer_positions, probe_sorted
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def validate_positions(tkeys, tcov, tfw, tbw, codes, k: int, cutoff: int):
+    """codes: uint8[N] one segment (BAD-padded to a bucket size).
+
+    Returns per-position arrays of length P = N - k + 1:
+      valid, missing, edge_missing (bool), cov u32, isfw bool,
+      right u32, left u32.
+    """
+    n = codes.shape[0]
+    p = n - k + 1
+    keys, isfw, _edges, valid = kmer_positions(codes, k)
+    found, cov, fw, bw = probe_sorted(tkeys, tcov, tfw, tbw, keys)
+    found = found & valid
+
+    nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
+    prv = jnp.concatenate([jnp.full((1,), 4, jnp.uint8), codes[: p - 1]])
+    has_next = nxt <= 3
+    has_prev = prv <= 3
+    nc = (nxt & 3).astype(jnp.int32)
+    pc = (prv & 3).astype(jnp.int32)
+
+    def gather(mat, idx):
+        return jnp.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
+
+    right = jnp.where(isfw, gather(fw, nc), gather(bw, 3 - nc))
+    left = jnp.where(isfw, gather(bw, pc), gather(fw, 3 - pc))
+    right = jnp.where(found & has_next, right, 0)
+    left = jnp.where(found & has_prev, left, 0)
+
+    cov = jnp.where(found, cov, 0)
+    missing = valid & ((cov == 0) | (cov < jnp.uint32(cutoff)))
+    no_right = has_next & (right == 0)
+    no_left = has_prev & (left == 0)
+    edge_missing = valid & ~missing & no_left & no_right
+    # the reference fills edge tracks only on the non-missing branch
+    # (src/kreeq.cpp:176-210)
+    right = jnp.where(missing, 0, right)
+    left = jnp.where(missing, 0, left)
+    return valid, missing, edge_missing, cov, isfw, right, left

@@ -1,0 +1,174 @@
+"""Kernel-level unit tests (coverage the reference lacks; SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE, reference_available
+
+K = 21
+CM = {c: i for i, c in enumerate("ACGT")}
+
+
+def ref_count(seqs, k):
+    """Pure-python oracle for canonical counting with edge bits."""
+    acc = {}
+    for s in seqs:
+        vals = [CM.get(c.upper(), 4) for c in s]
+        n = len(vals)
+        for p in range(n - k + 1):
+            w = vals[p:p + k]
+            if any(v > 3 for v in w):
+                continue
+            fw = sum(v << (2 * i) for i, v in enumerate(w))
+            rc = sum((3 - v) << (2 * i) for i, v in enumerate(reversed(w)))
+            isfw = fw <= rc
+            key = min(fw, rc)
+            e = acc.setdefault(key, [0] * 9)
+            nxt = vals[p + k] if p + k < n else 4
+            prv = vals[p - 1] if p > 0 else 4
+            if isfw:
+                if nxt <= 3:
+                    e[nxt] += 1
+                if prv <= 3:
+                    e[4 + prv] += 1
+            else:
+                if prv <= 3:
+                    e[3 - prv] += 1
+                if nxt <= 3:
+                    e[4 + 3 - nxt] += 1
+            e[8] += 1
+    return acc
+
+
+def device_count(seqs, k):
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops import kmers as KM
+
+    acc = {}
+    for buf in KM.pack_reads(iter(seqs), k, 1 << 12):
+        keys, _isfw, edges, valid = KM.kmer_positions(jnp.asarray(buf), k)
+        ukeys, cov, fw, bw, n = KM.count_sorted(keys, edges, valid)
+        n = int(n)
+        ukeys, cov, fw, bw = (np.asarray(ukeys[:n]), np.asarray(cov[:n]),
+                              np.asarray(fw[:n]), np.asarray(bw[:n]))
+        for i in range(n):
+            e = acc.setdefault(int(ukeys[i]), [0] * 9)
+            for w in range(4):
+                e[w] += int(fw[i, w])
+                e[4 + w] += int(bw[i, w])
+            e[8] += int(cov[i])
+    return acc
+
+
+def random_seqs(rng, n, lo=30, hi=200, with_n=False):
+    alphabet = "ACGTN" if with_n else "ACGT"
+    probs = [0.24, 0.24, 0.24, 0.24, 0.04] if with_n else [0.25] * 4
+    return ["".join(rng.choice(list(alphabet), size=rng.integers(lo, hi),
+                               p=probs)) for _ in range(n)]
+
+
+def test_count_matches_oracle():
+    rng = np.random.default_rng(0)
+    seqs = random_seqs(rng, 40)
+    assert device_count(seqs, K) == ref_count(seqs, K)
+
+
+def test_count_matches_oracle_with_n():
+    rng = np.random.default_rng(1)
+    seqs = random_seqs(rng, 40, with_n=True)
+    assert device_count(seqs, K) == ref_count(seqs, K)
+
+
+def test_count_small_k():
+    rng = np.random.default_rng(2)
+    seqs = random_seqs(rng, 10, lo=5, hi=40)
+    for k in (3, 15, 31):
+        assert device_count(seqs, k) == ref_count(seqs, k)
+
+
+def test_long_read_bucketing():
+    rng = np.random.default_rng(3)
+    seqs = random_seqs(rng, 3, lo=5000, hi=9000)
+    assert device_count(seqs, K) == ref_count(seqs, K)
+
+
+def test_merge_tables():
+    import jax.numpy as jnp
+
+    from kreeq_tpu.core.table import KmerTable
+    from kreeq_tpu.ops import kmers as KM
+
+    rng = np.random.default_rng(4)
+    a, b = random_seqs(rng, 10), random_seqs(rng, 10)
+
+    def to_table(seqs):
+        return KmerTable.from_entries(
+            K, {k_: tuple(v) for k_, v in device_count(seqs, K).items()})
+
+    merged = to_table(a).merge(to_table(b))
+    want = ref_count(a + b, K)
+    got = {int(merged.keys[i]): list(merged.fw[i]) + list(merged.bw[i])
+           + [int(merged.cov[i])] for i in range(len(merged))}
+    assert got == {k_: v for k_, v in want.items()}
+
+
+def test_merge_saturation():
+    from kreeq_tpu.core.table import KmerTable
+
+    big = 0xFFFFFFFF - 1
+    t1 = KmerTable.from_entries(K, {5: (big, 0, 0, 0, 0, 0, 0, 0, big)})
+    t2 = KmerTable.from_entries(K, {5: (7, 0, 0, 0, 0, 0, 0, 0, 7)})
+    m = t1.merge(t2)
+    assert int(m.cov[0]) == 0xFFFFFFFF  # LARGEST clamp
+    assert int(m.fw[0, 0]) == 0xFFFFFFFF
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference corpus")
+def test_fixture_db_roundtrip(tmp_path):
+    """read test1.kreeq -> write -> read: identical tables; and the
+    fixture must equal counting random1.fastq (pins the hash encoding)."""
+    from kreeq_tpu.core.table import KmerTable
+    from kreeq_tpu.io.fastx import iter_reads
+    from kreeq_tpu.io.kreeqdb import read_kreeq, write_kreeq
+
+    db = read_kreeq(os.path.join(REFERENCE, "testFiles", "test1.kreeq"))
+    assert db.k == 21 and len(db) == 96
+    st = db.stats()
+    assert (st.total, st.unique, st.distinct, st.edges) == (172, 25, 96, 160)
+
+    counted = KmerTable.from_reads(
+        [os.path.join(REFERENCE, "testFiles", "random1.fastq")], 21)
+    assert np.array_equal(counted.keys, db.keys)
+    assert np.array_equal(counted.cov, db.cov)
+    assert np.array_equal(counted.fw, db.fw)
+    assert np.array_equal(counted.bw, db.bw)
+
+    out = tmp_path / "rt.kreeq"
+    write_kreeq(str(out), db)
+    rt = read_kreeq(str(out))
+    assert np.array_equal(rt.keys, db.keys)
+    assert np.array_equal(rt.cov, db.cov)
+    assert np.array_equal(rt.fw, db.fw)
+    assert np.array_equal(rt.bw, db.bw)
+
+
+def test_probe():
+    from kreeq_tpu.core.table import KmerTable
+
+    rng = np.random.default_rng(5)
+    seqs = random_seqs(rng, 20)
+    want = ref_count(seqs, K)
+    table = KmerTable.from_entries(K, {k_: tuple(v)
+                                       for k_, v in want.items()})
+    keys = list(want.keys())
+    qk = np.array(keys + [1, 2, 3], np.uint64)
+    found, cov, fw, bw = table.probe(qk)
+    for i, key in enumerate(keys):
+        assert found[i]
+        assert cov[i] == want[key][8]
+        assert list(fw[i]) == want[key][0:4]
+        assert list(bw[i]) == want[key][4:8]
+    assert not found[-3:].any() or {1, 2, 3} & set(keys)
