@@ -1,0 +1,561 @@
+"""Subgraph extraction, graph search, unitig collapse, GFA emission.
+
+Re-expression of the reference's subgraph mode (reference:
+src/subgraph.cpp, src/kreeq.cpp:360-600):
+
+  * extraction probes every assembly k-mer against the table in one
+    batched device pass (replacing per-segment jobs + map-window
+    paging, reference: src/subgraph.cpp:116-161),
+  * graph searches (traversal = BFS rounds; best-first = bounded
+    per-node Dijkstra with a shared memo cache) run on the host over
+    the tiny subgraph, with DB lookups against the device-built table,
+  * the unitig collapse walks unbranching runs exactly like the
+    reference's collapseNodes so segment/edge counts match goldens.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.sequence import Edge, Genome
+from .fibheap import FibonacciHeap
+from .keys import canonical, key_to_seq, next_key_bw, next_key_fw
+
+
+@dataclass
+class SubNode:
+    """DBGkmer32color equivalent (reference: include/kreeq.h:126-136)."""
+
+    fw: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    bw: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    cov: int = 0
+    color: int = 0  # 0 gray (search-found), 1 blue (DB), 2 red (asm-only)
+
+    def fw_count(self) -> int:
+        return sum(1 for v in self.fw if v)
+
+    def bw_count(self) -> int:
+        return sum(1 for v in self.bw if v)
+
+
+LARGEST = 0xFFFFFFFF
+
+
+def _satadd(a: int, b: int) -> int:
+    s = a + b
+    return s if s <= LARGEST else LARGEST
+
+
+def color_palette(value: int) -> str:
+    """Reference: src/kreeq.cpp:337-349."""
+    return {0: "gray", 1: "blue", 2: "red"}[value]
+
+
+# -- extraction -------------------------------------------------------------
+
+
+def extract_subgraph(dbg) -> Dict[int, SubNode]:
+    """Collect DB nodes touched by the assembly (color 1) plus
+    reconstructed assembly-only nodes (color 2) unless --no-reference
+    (reference: src/subgraph.cpp:190-288), merged across segments with
+    saturating adds (reference unionSum, src/subgraph.cpp:42-112)."""
+    import jax.numpy as jnp
+
+    from ..ops.kmers import kmer_positions
+    from .dbg import _bucket
+
+    ui = dbg.ui
+    k = dbg.k
+    table = dbg.table
+    bed = _load_bed_spans(dbg) if ui.in_bed_include else None
+
+    merged: Dict[int, SubNode] = {}
+    for seg in dbg.genome.segments:
+        ln = len(seg)
+        if ln < k:
+            continue
+        kcount = ln - k + 1
+        buf = np.full(_bucket(ln), 4, np.uint8)
+        buf[:ln] = seg.codes
+        keys, isfw, edges, valid = kmer_positions(jnp.asarray(buf), k)
+        keys = np.asarray(keys[:kcount])
+        isfw = np.asarray(isfw[:kcount])
+        edges = np.asarray(edges[:kcount])
+        found, cov, fw, bw = table.probe(keys)
+
+        spans = [(0, kcount)]
+        if bed is not None:
+            spans = bed.get(seg.header, [])
+
+        seg_map: Dict[int, SubNode] = {}
+        for lo, hi in spans:
+            for p in range(lo, min(hi, kcount)):
+                key = int(keys[p])
+                if key in seg_map:
+                    continue  # phmap insert: first occurrence wins
+                if found[p]:
+                    seg_map[key] = SubNode(list(map(int, fw[p])),
+                                           list(map(int, bw[p])),
+                                           int(cov[p]), 1)
+                elif not ui.no_reference:
+                    e = int(edges[p])
+                    node = SubNode([(e >> w) & 1 for w in range(4)],
+                                   [(e >> (4 + w)) & 1 for w in range(4)],
+                                   1, 2)
+                    seg_map[key] = node
+        for key, node in seg_map.items():
+            tgt = merged.get(key)
+            if tgt is None:
+                merged[key] = node
+            else:
+                for w in range(4):
+                    tgt.fw[w] = _satadd(tgt.fw[w], node.fw[w])
+                    tgt.bw[w] = _satadd(tgt.bw[w], node.bw[w])
+                tgt.cov = _satadd(tgt.cov, node.cov)
+    return merged
+
+
+def _load_bed_spans(dbg):
+    spans: Dict[str, List[Tuple[int, int]]] = {}
+    with open(dbg.ui.in_bed_include) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) >= 3:
+                spans.setdefault(parts[0], []).append(
+                    (int(parts[1]), int(parts[2])))
+    # reference projects path coordinates onto segments
+    # (src/kreeq.cpp:284-333); our segment headers are `<path>.<n>`
+    out: Dict[str, List[Tuple[int, int]]] = {}
+    for path in dbg.genome.paths:
+        if path.header not in spans:
+            continue
+        abs_pos = 0
+        for comp, obj in dbg.genome.path_components(path):
+            if comp.ctype == "S":
+                for b, e in spans[path.header]:
+                    if abs_pos < b < abs_pos + len(obj):
+                        out.setdefault(obj.header, []).append(
+                            (b - abs_pos, e - abs_pos))
+                abs_pos += len(obj)
+            else:
+                abs_pos += obj.dist
+    return out
+
+
+# -- DB neighbour lookup ----------------------------------------------------
+
+
+def _db_node(table, key: int) -> Optional[SubNode]:
+    rec = table.lookup(key)
+    if rec is None:
+        return None
+    fw, bw, cov = rec
+    return SubNode(list(map(int, fw)), list(map(int, bw)), cov, 0)
+
+
+# -- searches ---------------------------------------------------------------
+
+
+def traversal(dbg, sub: Dict[int, SubNode]) -> None:
+    """BFS frontier expansion, kmerDepth rounds (reference:
+    src/subgraph.cpp:301-415)."""
+    k = dbg.k
+    table = dbg.table
+    depth = dbg.ui.resolved_kmer_depth()
+    candidates: Dict[int, SubNode] = {}
+    frontier = sub
+    for _ in range(depth):
+        new: Dict[int, SubNode] = {}
+        for key, node in frontier.items():
+            for i in range(4):
+                if node.fw[i] != 0:
+                    nk, _ = canonical(next_key_fw(key, i, k), k)
+                    if nk not in sub and nk not in new:
+                        found = _db_node(table, nk)
+                        if found is not None:
+                            new[nk] = found
+                if node.bw[i] != 0:
+                    nk, _ = canonical(next_key_bw(key, i, k), k)
+                    if nk not in sub and nk not in new:
+                        found = _db_node(table, nk)
+                        if found is not None:
+                            new[nk] = found
+        for key, node in new.items():
+            candidates.setdefault(key, node)
+        frontier = new
+    for key, node in candidates.items():
+        sub.setdefault(key, node)
+
+
+def best_first(dbg, sub: Dict[int, SubNode]) -> Dict[int, SubNode]:
+    """Per-node bounded Dijkstra with shared cache (reference:
+    src/subgraph.cpp:417-579)."""
+    cache: Dict[int, SubNode] = {}
+    candidates: Dict[int, SubNode] = {}
+    copy: Dict[int, SubNode] = {}
+    for key, node in sub.items():
+        _explored, discovered = _dijkstra(dbg, sub, key, node, cache)
+        for dk, dn in discovered.items():
+            candidates.setdefault(dk, dn)
+        copy[key] = node
+    for dk, dn in candidates.items():
+        copy.setdefault(dk, dn)
+    return copy
+
+
+def _dijkstra(dbg, sub, source_key: int, source_node: SubNode, cache):
+    """Reference: src/subgraph.cpp:460-579.  depth counts extracted
+    nodes, not levels; all queued nodes carry priority 0 (insert-then-
+    refused-decreaseKey), so order follows the heap mechanics."""
+    k = dbg.k
+    table = dbg.table
+    cutoff = dbg.ui.cov_cutoff
+    kmer_depth = dbg.ui.resolved_kmer_depth()
+
+    heap = FibonacciHeap()
+    dist: Dict[int, int] = {source_key: 1}
+    prev: Dict[int, Tuple[int, bool]] = {}
+    vals: Dict[int, SubNode] = {source_key: source_node}
+    discovered: Dict[int, SubNode] = {}
+    destinations: List[int] = []
+    heap.insert(source_key, 1)
+    depth = 0
+    direction = True
+    explored = False
+
+    def check_next(key: int, dirn: bool, ukey: int) -> bool:
+        if key in sub:
+            return True
+        nxt = cache.get(key)
+        if nxt is None:
+            nxt = _db_node(table, key)
+            if nxt is None:
+                return True  # edge present but neighbour not in DB
+            cache[key] = nxt
+        alt = dist[ukey]
+        if alt < 255:
+            alt += 1
+        if key not in dist:
+            dist[key] = 255
+            vals[key] = nxt
+            heap.insert(key, 0)
+        if alt < dist[key]:
+            prev[key] = (ukey, dirn)
+            dist[key] = alt
+            heap.decrease_key(key, alt)
+        return True
+
+    while heap.size() > 0 and depth < kmer_depth + 1:
+        explored = False
+        ukey = heap.extract_min()
+        uval = vals[ukey]
+        if ukey in prev:
+            direction = prev[ukey][1]
+        edge_count = 0
+        explored_count = 0
+        for i in range(4):
+            if direction or depth == 0:
+                if depth == 0:
+                    direction = True
+                if uval.fw[i] > cutoff:
+                    nk, isfw = canonical(next_key_fw(ukey, i, k), k)
+                    if check_next(nk, direction if isfw else not direction,
+                                  ukey):
+                        explored_count += 1
+                        if nk in sub:
+                            destinations.append(ukey)
+                    edge_count += 1
+            if (not direction) or depth == 0:
+                if depth == 0:
+                    direction = False
+                if uval.bw[i] > cutoff:
+                    nk, isfw = canonical(next_key_bw(ukey, i, k), k)
+                    if check_next(nk, direction if isfw else not direction,
+                                  ukey):
+                        explored_count += 1
+                        if nk in sub:
+                            destinations.append(ukey)
+                    edge_count += 1
+        depth += 1
+        if (edge_count == explored_count or depth == kmer_depth + 1
+                or len(destinations) >= 10):
+            explored = True
+
+    for dest in destinations:
+        while dest != source_key:
+            node = cache.get(dest)
+            if node is not None:
+                discovered.setdefault(
+                    dest, SubNode(list(node.fw), list(node.bw), node.cov, 0))
+            dist.pop(dest, None)
+            dest = prev[dest][0]
+    if explored:
+        for key in dist:
+            cache.pop(key, None)
+    return explored, discovered
+
+
+def search_graph(dbg, sub: Dict[int, SubNode]) -> Dict[int, SubNode]:
+    """Reference: src/subgraph.cpp:290-299."""
+    alg = dbg.ui.trav_algorithm
+    if alg == "best-first":
+        return best_first(dbg, sub)
+    if alg == "traversal":
+        traversal(dbg, sub)
+        return sub
+    sys.stderr.write(
+        f"Cannot find input algorithm ({alg}). Terminating.\n")
+    sys.exit(1)
+
+
+# -- pruning + summary ------------------------------------------------------
+
+
+def remove_missing_edges(dbg, sub: Dict[int, SubNode]) -> None:
+    """Zero edges whose endpoint is not in the subgraph; only counters
+    above the cutoff are eligible for pruning (reference quirk,
+    src/subgraph.cpp:599-628)."""
+    k = dbg.k
+    cutoff = dbg.ui.cov_cutoff
+    for key, node in sub.items():
+        for i in range(4):
+            if node.fw[i] > cutoff:
+                nk, _ = canonical(next_key_fw(key, i, k), k)
+                if nk not in sub:
+                    node.fw[i] = 0
+            if node.bw[i] > cutoff:
+                nk, _ = canonical(next_key_bw(key, i, k), k)
+                if nk not in sub:
+                    node.bw[i] = 0
+
+
+def subgraph_summary_lines(sub: Dict[int, SubNode], k: int) -> List[str]:
+    """Reference: src/subgraph.cpp:163-188 (same either-side edge
+    quirk as DBstats)."""
+    tot = sum(n.cov for n in sub.values())
+    unique = sum(1 for n in sub.values() if n.cov == 1)
+    distinct = len(sub)
+    edges = sum(1 for n in sub.values() for w in range(4)
+                if n.fw[w] > 0 or n.bw[w] > 0)
+    return [
+        "Subgraph summary statistics:",
+        f"Total kmers: {tot}",
+        f"Unique kmers: {unique}",
+        f"Distinct kmers: {distinct}",
+        f"Missing kmers: {4 ** k - distinct}",
+        f"Total edges: {edges}",
+    ]
+
+
+# -- GFA emission -----------------------------------------------------------
+
+
+def graph_to_gfa(dbg, sub: Dict[int, SubNode]) -> Genome:
+    """Reference: src/kreeq.cpp:523-600 (DBGgraphToGFA)."""
+    if not dbg.ui.no_collapse:
+        return collapse_nodes(dbg, sub)
+    k = dbg.k
+    gfa = Genome()
+    id_counter = 0
+    edge_counter = 0
+    seg_of_key: Dict[int, object] = {}
+    for key, node in sub.items():
+        seg = gfa.add_segment(str(id_counter), key_to_seq(key, k),
+                              seq_pos=id_counter,
+                              tags=[("f", "DP", str(node.cov)),
+                                    ("Z", "CB", color_palette(node.color))])
+        seg_of_key[key] = seg
+        id_counter += 1
+    for key, node in sub.items():
+        this_seg = seg_of_key[key]
+        # two separate passes, like the reference (src/kreeq.cpp:549-593)
+        for i in range(4):
+            if node.fw[i] == 0:
+                continue
+            nk, isfw = canonical(next_key_fw(key, i, k), k)
+            nxt = seg_of_key.get(nk)
+            if nxt is None:
+                continue
+            gfa.add_edge(Edge(id_counter, edge_counter, this_seg.uid,
+                              nxt.uid, "+", "+" if isfw else "-",
+                              f"{k - 1}M", f"edge.{edge_counter}",
+                              [("i", "KC", str(node.fw[i]))]))
+            id_counter += 1
+            edge_counter += 1
+        for i in range(4):
+            if node.bw[i] == 0:
+                continue
+            nk, isfw = canonical(next_key_bw(key, i, k), k)
+            prv = seg_of_key.get(nk)
+            if prv is None:
+                continue
+            gfa.add_edge(Edge(id_counter, edge_counter, prv.uid,
+                              this_seg.uid, "+" if isfw else "-", "+",
+                              f"{k - 1}M", f"edge.{edge_counter}",
+                              [("i", "KC", str(node.bw[i]))]))
+            id_counter += 1
+            edge_counter += 1
+    return gfa
+
+
+RESIDUAL_DICT = dict  # test hook: swap for a tracing dict
+
+
+def collapse_nodes(dbg, sub: Dict[int, SubNode]) -> Genome:
+    """Greedy unbranching-run collapse into unitigs (reference:
+    src/kreeq.cpp:360-521).  Output counts are traversal-order
+    independent; node choice follows dict order (the reference picks
+    arbitrary phmap order)."""
+    k = dbg.k
+    gfa = Genome()
+    id_counter = 0
+    edge_counter = 0
+    # residual: key -> (node snapshot, unitig id, direction)
+    residual: Dict[int, Tuple[SubNode, int, int]] = RESIDUAL_DICT()
+
+    def extend(seed: List[int], direction: int) -> List[int]:
+        """seed: list of base codes (length >= k), extended in place.
+        Returns the grown seed (reference collapseNodes extend lambda,
+        src/kreeq.cpp:365-427)."""
+        nonlocal residual
+        fwkey = 0
+        for i, b in enumerate(seed[:k]):
+            fwkey |= b << (2 * i)
+        key, isfw = canonical(fwkey, k)
+        node = sub.get(key)
+        if node is None:
+            return seed
+        base_counter = 0
+        while True:
+            idx = ([i for i in range(4) if node.fw[i]] if isfw
+                   else [3 - i for i in range(4) if node.bw[i]])
+            i = idx[0]
+            # next kmer from seed window + new base
+            fwk = 0
+            for j in range(k - 1):
+                fwk |= seed[base_counter + 1 + j] << (2 * j)
+            fwk |= i << (2 * (k - 1))
+            base_counter += 1
+            key_prev, node_prev = key, node
+            key, isfw = canonical(fwk, k)
+            got = sub.get(key)
+            if got is None:
+                if key in residual:
+                    residual[key_prev] = (node_prev, id_counter, direction)
+                break
+            node = got
+            front = ([w for w in range(4) if node.fw[w]] if isfw
+                     else [w for w in range(4) if node.bw[w]])
+            back = ([w for w in range(4) if node.bw[w]] if isfw
+                    else [w for w in range(4) if node.fw[w]])
+            if len(back) > 1:
+                residual[key_prev] = (node_prev, id_counter, direction)
+                break
+            seed.append(i)
+            del sub[key]
+            if len(front) == 0:
+                break
+            if len(front) > 1:
+                residual[key] = (node, id_counter, direction)
+                break
+        return seed
+
+    while sub:
+        key = next(iter(sub))
+        node = sub[key]
+        front = [(key >> (2 * i)) & 3 for i in range(k)]
+        back = [3 - b for b in reversed(front)]
+        edge_counts = (node.bw_count(), node.fw_count())
+        snapshot = SubNode(list(node.fw), list(node.bw), node.cov,
+                           node.color)
+        if edge_counts[0] == 1 or edge_counts[1] == 1:
+            for direction in (1, 0):
+                if edge_counts[direction] == 1:
+                    if direction:
+                        front = extend(front, 1)
+                    else:
+                        back = extend(back, 0)
+                elif edge_counts[direction] > 1:
+                    residual[key] = (snapshot, id_counter, direction)
+            sub.pop(key, None)
+        else:
+            residual[key] = (snapshot, id_counter, 0)
+            sub.pop(key, None)  # reference never erases here (would hang)
+        # unitig = revcom(back) + front[k:]
+        seq_codes = [3 - b for b in reversed(back)] + front[k:]
+        from ..constants import ITOC
+
+        seq = "".join(ITOC[b] for b in seq_codes)
+        gfa.add_segment(str(id_counter), seq, seq_pos=id_counter,
+                        tags=[("f", "DP", str(snapshot.cov)),
+                              ("Z", "CB", color_palette(snapshot.color))])
+        id_counter += 1
+
+    seg_by_header = {s.header: s for s in gfa.segments}
+    # the reference consumes residualEdges head-first; a neighbour's
+    # reciprocal edge is skipped once the head is erased, so each
+    # unitig adjacency is emitted exactly once
+    # (reference: src/kreeq.cpp:463-519)
+    while residual:
+        key = next(iter(residual))
+        node, uid, direction = residual[key]
+        this_header = str(uid)
+        # two separate passes, like the reference (src/kreeq.cpp:468-517)
+        for i in range(4):
+            if node.fw[i] == 0:
+                continue
+            nk, _ = canonical(next_key_fw(key, i, k), k)
+            got = residual.get(nk)
+            if got is None:
+                continue
+            gfa.add_edge(Edge(id_counter, edge_counter,
+                              seg_by_header[this_header].uid,
+                              seg_by_header[str(got[1])].uid,
+                              "+" if direction else "-",
+                              "-" if got[2] else "+",
+                              f"{k - 1}M", f"edge.{edge_counter}",
+                              [("i", "KC", str(node.fw[i]))]))
+            id_counter += 1
+            edge_counter += 1
+        for i in range(4):
+            if node.bw[i] == 0:
+                continue
+            nk, _ = canonical(next_key_bw(key, i, k), k)
+            got = residual.get(nk)
+            if got is None:
+                continue
+            gfa.add_edge(Edge(id_counter, edge_counter,
+                              seg_by_header[str(got[1])].uid,
+                              seg_by_header[this_header].uid,
+                              "+" if got[2] else "-",
+                              "-" if direction else "+",
+                              f"{k - 1}M", f"edge.{edge_counter}",
+                              [("i", "KC", str(node.bw[i]))]))
+            id_counter += 1
+            edge_counter += 1
+        del residual[key]
+    return gfa
+
+
+# -- driver -----------------------------------------------------------------
+
+
+def run_subgraph(dbg, out=None) -> None:
+    """Reference flow: src/input.cpp:153-180."""
+    out = out or sys.stdout
+    if not dbg.ui.in_sequence:
+        return
+    sub = extract_subgraph(dbg)
+    sub = search_graph(dbg, sub)
+    remove_missing_edges(dbg, sub)
+    out.write("\n".join(subgraph_summary_lines(sub, dbg.k)) + "\n")
+    dbg.subgraph_nodes = dict(sub)
+    gfa = graph_to_gfa(dbg, sub)
+    dbg.subgraph_gfa = gfa
+    from .gfastats import report_stats_lines
+
+    out.write("\n".join(report_stats_lines(gfa)) + "\n")
