@@ -1,0 +1,85 @@
+"""Benchmark: canonical k-mer counting + probe throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no performance numbers (BASELINE.md); its CI
+budget is functional only.  vs_baseline is therefore reported against
+a single-threaded reference-style C++-equivalent Python/dict oracle?
+No — against 1.0 (parity with itself) until a reference measurement
+exists; the absolute numbers are the tracked quantity.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import kreeq_tpu  # noqa: F401  (x64)
+    from kreeq_tpu.ops.kmers import count_sorted, kmer_positions
+    from kreeq_tpu.ops.validate import validate_positions
+
+    k = 31
+    chunk = 1 << 22  # 4M bases per step
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, chunk).astype(np.uint8)
+
+    @jax.jit
+    def count_step(codes):
+        keys, _isfw, edges, valid = kmer_positions(codes, k)
+        return count_sorted(keys, edges, valid)
+
+    codes = jnp.asarray(genome)
+    tkeys, cov, fw, bw, n = count_step(codes)
+    jax.block_until_ready(n)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = count_step(codes)
+    jax.block_until_ready(out)
+    dt_count = (time.perf_counter() - t0) / iters
+    kmers = chunk - k + 1
+    count_rate = kmers / dt_count
+
+    # probe: assembly chunk against the built table
+    asm = jnp.asarray(rng.integers(0, 4, chunk).astype(np.uint8))
+
+    @jax.jit
+    def probe_step(tkeys, cov, fw, bw, codes):
+        return validate_positions(tkeys, cov, fw, bw, codes, k, 0)
+
+    out = probe_step(tkeys, cov, fw, bw, asm)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = probe_step(tkeys, cov, fw, bw, asm)
+    jax.block_until_ready(out)
+    dt_probe = (time.perf_counter() - t0) / iters
+    probe_rate = kmers / dt_probe
+
+    result = {
+        "metric": "read kmers counted/s/chip",
+        "value": round(count_rate),
+        "unit": "kmers/s",
+        "vs_baseline": 1.0,
+        "extra": {
+            "probe_kmers_per_s": round(probe_rate),
+            "k": k,
+            "chunk_bases": chunk,
+            "device": str(jax.devices()[0]),
+            "count_step_ms": round(dt_count * 1e3, 2),
+            "probe_step_ms": round(dt_probe * 1e3, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Candidate-error discovery: bounded read-graph search per assembly
+position (reference: src/variants.cpp).
+
+For every unexplained assembly k-mer, a bounded search walks the read
+DBG from the last good k-mer toward a sliding window of downstream
+"target" k-mers; a reconnection classifies the divergence as
+SNV/INS/DEL/COM and reconstructs the alternative sequence by
+backtracking (reference: src/variants.cpp:171-310).  The search
+replicates the reference's quirks exactly:
+
+  * only the bw-side edge test applies the coverage cutoff
+    (ternary-precedence accident, reference: src/variants.cpp:236),
+  * depth counts extracted nodes (<= kmerDepth+1 expansions),
+  * destinations are capped at 10, the heap at 1000 nodes,
+  * queued nodes keep priority 0 (decreaseKey refuses to raise keys),
+    so extraction order follows the Fibonacci-heap mechanics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..constants import revcom
+from .fibheap import FibonacciHeap
+from .keys import canonical, key_to_seq, next_key_bw, next_key_fw
+
+SNV, INS, DEL, COM = "SNV", "INS", "DEL", "COM"
+
+
+@dataclass
+class DBGpath:
+    """Reference: gfalibs DBGpath {type, pos, sequence, refLen}."""
+
+    type: str = SNV
+    pos: int = 0
+    sequence: str = ""
+    ref_len: int = 1
+
+
+def correct_sequences(dbg, out=None) -> None:
+    """Serial per segment (reference: src/variants.cpp:40-51)."""
+    if not dbg.ui.in_sequence:
+        return
+    for seg in dbg.genome.segments:
+        dbg_to_variants(dbg, seg)
+
+
+def dbg_to_variants(dbg, seg) -> None:
+    """Reference: src/variants.cpp:53-169."""
+    k = dbg.k
+    ln = len(seg)
+    if ln < k:
+        return
+    kcount = ln - k + 1
+    max_span = dbg.ui.max_span
+    table = dbg.table
+    codes = seg.codes
+    cache: Dict[int, object] = {}
+    visited = [False] * ln
+    variants: List[List[DBGpath]] = []
+
+    def pos_key(p: int) -> Tuple[int, bool]:
+        fw = 0
+        for j in range(k):
+            fw |= int(codes[p + j]) << (2 * j)
+        return canonical(fw, k)
+
+    explored_total = 0
+    while explored_total < kcount:
+        targets_queue: List[int] = []
+        targets_map: Dict[int, bool] = {}
+        for pos in range(max_span):
+            if pos + k < kcount:
+                key, _ = pos_key(pos + k)
+                targets_queue.append(key)
+                targets_map[key] = True
+        for c in range(kcount):
+            if targets_queue:
+                targets_map.pop(targets_queue.pop(0), None)
+            if c + k + max_span < kcount:
+                key, _ = pos_key(c + k + max_span)
+                targets_map[key] = True
+                targets_queue.append(key)
+            if visited[c]:
+                continue
+            skey, is_fw = pos_key(c)
+            rec = table.lookup(skey)
+            if rec is None:
+                explored_total += 1
+                visited[c] = True
+                continue
+            ref_key = pos_key(c + 1)[0] if c + 1 <= kcount - 1 else None
+            ok, paths = search_variants(
+                dbg, skey, rec, is_fw, ref_key, targets_queue,
+                targets_map, cache)
+            explored_total += ok
+            if ok:
+                for p in paths:
+                    p.pos = c + k
+                if paths:
+                    variants.append(paths)
+                visited[c] = True
+    seg.variants = variants
+
+
+def search_variants(dbg, source_key: int, source_rec, is_source_fw: bool,
+                    ref: Optional[int], targets_queue: List[int],
+                    targets_map: Dict[int, bool],
+                    cache: Dict[int, object]) -> Tuple[bool, List[DBGpath]]:
+    """Reference: src/variants.cpp:171-310."""
+    k = dbg.k
+    table = dbg.table
+    cutoff = dbg.ui.cov_cutoff
+    kmer_depth = dbg.ui.resolved_kmer_depth()
+
+    heap = FibonacciHeap()
+    dist: Dict[int, int] = {source_key: 1}
+    prev: Dict[int, Tuple[int, bool]] = {}
+    vals: Dict[int, object] = {source_key: source_rec}
+    destinations: List[int] = []
+    discovered: List[DBGpath] = []
+    heap.insert(source_key, 1)
+    depth = 0
+    direction = True
+    explored = False
+
+    def check_next(key: int, dirn: bool, ukey: int) -> bool:
+        if key in targets_map:
+            return True
+        nxt = cache.get(key)
+        if nxt is None:
+            nxt = table.lookup(key)
+            if nxt is None:
+                return True  # edge recorded but neighbour absent
+            cache[key] = nxt
+        alt = dist[ukey]
+        if alt < 255:
+            alt += 1
+        if key not in dist:
+            dist[key] = 255
+            vals[key] = nxt
+            heap.insert(key, 0)
+        if alt < dist[key]:
+            prev[key] = (ukey, dirn)
+            dist[key] = alt
+            heap.decrease_key(key, alt)
+        return True
+
+    while heap.size() > 0 and depth < kmer_depth + 1:
+        explored = False
+        ukey = heap.extract_min()
+        ufw, ubw, _ucov = vals[ukey]
+        if ukey in prev:
+            direction = prev[ukey][1]
+        edge_count = 0
+        explored_count = 0
+        candidates: List[Tuple[int, bool, bool]] = []
+        for i in range(4):
+            if depth == 0:
+                direction = bool(is_source_fw)
+            # quirk: `direction ? fw[i] : bw[i] > covCutOff` applies
+            # the cutoff only to the bw side (src/variants.cpp:236)
+            cond = bool(ufw[i]) if direction else (ubw[i] > cutoff)
+            if cond:
+                raw = (next_key_fw(ukey, i, k) if direction
+                       else next_key_bw(ukey, i, k))
+                key, isfw = canonical(raw, k)
+                if key != ref:
+                    candidates.append((key, isfw, direction))
+                    edge_count += 1
+        for key, isfw, dirn in candidates:
+            found = check_next(key, dirn if isfw else not dirn, ukey)
+            if found:
+                explored_count += 1
+                if key in targets_map:
+                    prev[key] = (ukey, dirn)
+                    destinations.append(key)
+        depth += 1
+        if (edge_count == explored_count or depth == kmer_depth + 1
+                or len(destinations) >= 10):
+            explored = True
+
+    def prev_get(key: int) -> Tuple[int, bool]:
+        return prev.get(key, (0, False))
+
+    for destination in destinations:
+        path = DBGpath()
+        try:
+            ref_len = targets_queue.index(destination) + k
+        except ValueError:
+            ref_len = len(targets_queue) + k
+        i = 0
+        node = prev_get(destination)[0]
+        while node != source_key:
+            node = prev_get(node)[0]
+            i += 1
+        node = prev_get(destination)[0]
+        direction = prev_get(node)[1]
+        b = i - ref_len
+        if ref_len > k:
+            path.type = COM
+            path.ref_len = ref_len - k + 1
+            b = ref_len - k
+        elif i == ref_len:
+            path.type = SNV
+        elif i > ref_len:
+            path.type = DEL
+            b -= 1
+            node = prev_get(node)[0]
+            direction = prev_get(node)[1]
+        else:
+            path.type = INS
+        seq = []
+        while b >= 0:
+            seq.append(key_to_seq(node, k)[0] if direction
+                       else revcom(key_to_seq(node, k)[k - 1]))
+            node = prev_get(node)[0]
+            direction = prev_get(node)[1]
+            b -= 1
+        path.sequence = "".join(reversed(seq))
+        discovered.append(path)
+
+    if explored:
+        for key in dist:
+            cache.pop(key, None)
+    return explored, discovered
