@@ -37,13 +37,18 @@ def main() -> None:
 
     codes = jnp.asarray(genome)
     tkeys, cov, fw, bw, n = count_step(codes)
-    jax.block_until_ready(n)
+    _ = int(n)  # force execution + readback
 
+    # chain a data dependency between iterations and read back a scalar
+    # at the end: the remote execution relay elides repeated identical
+    # calls, so unchained same-input timing is bogus
     iters = 5
     t0 = time.perf_counter()
+    carry = codes
     for _ in range(iters):
-        out = count_step(codes)
-    jax.block_until_ready(out)
+        tkeys, cov, fw, bw, n = count_step(carry)
+        carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
+    _ = int(n)
     dt_count = (time.perf_counter() - t0) / iters
     kmers = chunk - k + 1
     count_rate = kmers / dt_count
@@ -56,11 +61,13 @@ def main() -> None:
         return validate_positions(tkeys, cov, fw, bw, codes, k, 0)
 
     out = probe_step(tkeys, cov, fw, bw, asm)
-    jax.block_until_ready(out)
+    _ = int(out[3][0])
     t0 = time.perf_counter()
+    carry = asm
     for _ in range(iters):
-        out = probe_step(tkeys, cov, fw, bw, asm)
-    jax.block_until_ready(out)
+        out = probe_step(tkeys, cov, fw, bw, carry)
+        carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
+    _ = int(out[3][0])
     dt_probe = (time.perf_counter() - t0) / iters
     probe_rate = kmers / dt_probe
 

@@ -1,0 +1,122 @@
+"""kreeq-validate: golden-output test harness (reference:
+src/validate.cpp).
+
+Walks directories for `*.tst` files, executes line 1 as a command
+(mapped onto this framework's CLIs, in-process), and line-diffs stdout
+against the embedded golden (or an external file named on line 2).
+Exit code is non-zero if any test fails.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import shlex
+import sys
+from typing import List, Set
+
+GREEN = "\033[0;32m"
+RED = "\033[0;31m"
+RESET = "\033[0m"
+
+
+def get_file_ext(name: str) -> str:
+    if "." not in name:
+        return ""
+    return name.rsplit(".", 1)[1]
+
+
+def collect(paths: List[str]) -> Set[str]:
+    out: Set[str] = set()
+    for path in paths:
+        if get_file_ext(path) == "tst":
+            out.add(path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if get_file_ext(f) == "tst":
+                        out.add(os.path.join(root, f))
+    return out
+
+
+def run_command(cmd: str) -> str:
+    argv = shlex.split(cmd)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        if argv[0] == "kreeq":
+            from .main import run
+
+            run(argv)
+        elif argv[0] == "kreeq-decompressor":
+            from .decompressor import run
+
+            run(argv)
+        else:
+            raise RuntimeError(f"unknown executable {argv[0]}")
+    return buf.getvalue()
+
+
+def main(argv: List[str] = None) -> None:
+    argv = argv if argv is not None else sys.argv[1:]
+    argv = [a for a in argv if a != "-c"]
+    if not argv:
+        print("kreeq-validate <path to test folder and/or files>")
+        sys.exit(0)
+
+    # the corpus is tiny: per-test TPU compiles dominate, so the
+    # harness runs on CPU unless told otherwise
+    if not os.environ.get("KREEQ_TPU_PLATFORM"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 (backend already initialized)
+            pass
+
+    ok = True
+    for tst in sorted(collect(argv)):
+        try:
+            with open(tst) as fh:
+                lines = fh.read().splitlines()
+        except OSError:
+            print(f"{RED}FAIL{RESET} {tst} couldn't open test file")
+            ok = False
+            continue
+        cmd = lines[0].strip()
+        try:
+            actual = run_command(cmd)
+        except SystemExit as e:
+            if e.code not in (0, None):
+                print(f"{RED}FAIL{RESET} {tst} runtime error")
+                ok = False
+                continue
+            actual = ""
+        except Exception as e:  # noqa: BLE001
+            print(f"{RED}FAIL{RESET} {tst} runtime error: {e}")
+            ok = False
+            continue
+        if len(lines) > 1 and lines[1].strip() != "embedded" \
+                and os.path.exists(lines[1].strip()):
+            with open(lines[1].strip()) as fh:
+                expected = fh.read()
+        else:
+            expected = "\n".join(lines[2:])
+        got = actual.rstrip("\n").splitlines()
+        want = expected.rstrip("\n").splitlines()
+        if got != want:
+            print(f"{RED}FAIL{RESET} {tst} expected output did not match "
+                  "actual output")
+            for i in range(max(len(got), len(want))):
+                g = got[i] if i < len(got) else ""
+                w = want[i] if i < len(want) else ""
+                if g != w:
+                    print(f"    expected: {w}\n      actual: {g}")
+            ok = False
+        else:
+            print(f"{GREEN}PASS{RESET} {tst}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

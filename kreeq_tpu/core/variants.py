@@ -42,8 +42,81 @@ def correct_sequences(dbg, out=None) -> None:
     """Serial per segment (reference: src/variants.cpp:40-51)."""
     if not dbg.ui.in_sequence:
         return
-    for seg in dbg.genome.segments:
+    from ..config import get_file_ext
+
+    ext = get_file_ext("." + dbg.ui.out_file)
+    to_gfa = ext in ("gfa", "gfa2", "gfa.gz", "gfa2.gz")
+    for seg in list(dbg.genome.segments):
         dbg_to_variants(dbg, seg)
+        if to_gfa:
+            variants_to_gfa(dbg, seg)
+
+
+def variants_to_gfa(dbg, seg) -> None:
+    """Split a segment at variant sites into a bubble graph
+    (reference: src/variants.cpp:312-404)."""
+    from ..io.sequence import Edge
+
+    genome = dbg.genome
+    old = seg.seq
+    header = seg.header
+    seq_pos = seg.seq_pos
+    processed = 0
+    segment_counter = 0
+    edge_counter = 0
+    s_uids: List[int] = []
+    s_uid = None
+
+    def add_seg(name: str, sub: str):
+        return genome.add_segment(name, sub, seq_pos=seq_pos)
+
+    def add_edge(a: int, b: int) -> None:
+        nonlocal edge_counter
+        edge_counter += 1
+        genome.add_edge(Edge(genome.next_uid(), len(genome.edges), a, b,
+                             "+", "+", "0M",
+                             f"{header}.edge.{edge_counter}"))
+
+    for group in seg.variants:
+        pos0 = group[0].pos
+        segment_counter += 1
+        new_seg = add_seg(f"{header}.{segment_counter}",
+                          old[processed:pos0])
+        for prev_uid in s_uids:
+            add_edge(prev_uid, new_seg.uid)
+        s_uids = []
+        s_uid = new_seg.uid
+        alt_counter = 0
+        original_added = False
+        processed = pos0
+        for var in group:
+            if var.type != DEL and not original_added:
+                segment_counter += 1
+                orig = add_seg(f"{header}.{segment_counter}",
+                               old[pos0:pos0 + 1])
+                add_edge(s_uid, orig.uid)
+                s_uids.append(orig.uid)
+                original_added = True
+                processed += 1
+            if var.type in (SNV, DEL):
+                alt_counter += 1
+                alt = add_seg(
+                    f"{header}.{segment_counter}.alt{alt_counter}",
+                    var.sequence)
+                s_uids.append(alt.uid)
+            if var.type == SNV:
+                add_edge(s_uid, alt.uid)
+            elif var.type == INS:
+                s_uids.append(s_uid)
+            elif var.type == DEL:
+                add_edge(s_uid, alt.uid)
+                s_uids.append(s_uid)
+    if seg.variants:
+        segment_counter += 1
+        tail = add_seg(f"{header}.{segment_counter}", old[processed:])
+        for prev_uid in s_uids:
+            add_edge(prev_uid, tail.uid)
+        genome.delete_segment(header)
 
 
 def dbg_to_variants(dbg, seg) -> None:

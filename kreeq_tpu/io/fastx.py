@@ -62,7 +62,21 @@ def iter_fastq(stream) -> Iterator[Tuple[str, str, str, str]]:
 
 
 def iter_reads(path: str) -> Iterator[str]:
-    """Yield raw read sequences from a FASTA or FASTQ (possibly .gz) file."""
+    """Yield read sequences from a FASTA or FASTQ (possibly .gz) file.
+
+    Uses the native C++ parser when available (yields uint8 code
+    arrays directly, skipping string materialization); downstream
+    consumers accept either form.
+    """
+    from . import native_enabled
+
+    if native_enabled():
+        from ..native import parse_fastx
+
+        seqs = parse_fastx(path)
+        if seqs is not None:
+            yield from seqs
+            return
     with open_text(path) as stream:
         first = stream.read(1)
         if not first:

@@ -48,10 +48,16 @@ def write_gfa(genome, out_file: str, ui) -> None:
                      f"\t{e.cigar}{_fmt_tags(e.tags)}\n")
     if not gfa2:
         for path in genome.paths:
-            comps = ",".join(
-                f"{genome.segment_by_uid(c.id).header}{c.orientation}"
-                for c in path.components if c.ctype == SEGMENT)
-            if comps:
-                fh.write(f"P\t{path.header}\t{comps}\t*\n")
+            names = []
+            intact = True
+            for c in path.components:
+                if c.ctype != SEGMENT:
+                    continue
+                if c.id not in hdr:
+                    intact = False  # segment replaced by a bubble graph
+                    break
+                names.append(f"{hdr[c.id]}{c.orientation}")
+            if intact and names:
+                fh.write(f"P\t{path.header}\t{','.join(names)}\t*\n")
     if close:
         fh.close()

@@ -73,34 +73,62 @@ def read_index(db_path: str) -> Tuple[int, int]:
     return k, map_count
 
 
+def _read_map_file(path: str, wide: bool):
+    """(keys u64[n], vals u32[n,9]) from one archive file (native C++
+    parser when available, Python fallback otherwise)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    from . import native_enabled
+
+    if native_enabled():
+        from ..native import parse_phmap as native_parse
+
+        out = native_parse(data, wide)
+        if out is not None:
+            return out
+    keys, vals = [], []
+    fmt = "<9I" if wide else "<9B"
+    for key, vb in parse_phmap(data, SLOT_U32 if wide else SLOT_U8):
+        keys.append(key)
+        vals.append(struct.unpack_from(fmt, vb))
+    return (np.array(keys, np.uint64),
+            np.array(vals, np.uint32).reshape(len(keys), 9))
+
+
 def read_kreeq(db_path: str) -> KmerTable:
     """Load a `.kreeq` DB into a KmerTable (u8 + high-copy merged)."""
     k, map_count = read_index(db_path)
-    entries: Dict[int, tuple] = {}
+    all_keys = []
+    all_vals = []
     tombstones = []
     for m in range(map_count):
         path = os.path.join(db_path, f".map.{m}.bin")
         if not os.path.exists(path):
             continue
-        with open(path, "rb") as fh:
-            data = fh.read()
-        for key, vb in parse_phmap(data, SLOT_U8):
-            rec = struct.unpack_from("<9B", vb)
-            if rec[8] == 255:  # tombstone -> value lives in the hc map
-                tombstones.append(key)
-            else:
-                entries[key] = rec
+        keys, vals = _read_map_file(path, wide=False)
+        tomb = vals[:, 8] == 255  # value lives in the hc map
+        tombstones.append(keys[tomb])
+        all_keys.append(keys[~tomb])
+        all_vals.append(vals[~tomb])
     hc_path = os.path.join(db_path, ".map.hc.bin")
+    hc_keys = np.zeros(0, np.uint64)
     if os.path.exists(hc_path):
-        with open(hc_path, "rb") as fh:
-            data = fh.read()
-        for key, vb in parse_phmap(data, SLOT_U32):
-            entries[key] = struct.unpack_from("<9I", vb)
-    for key in tombstones:
-        if key not in entries:
-            raise ValueError(
-                f"int32 map missing 255 value from int8 map: key {key}")
-    return KmerTable.from_entries(k, entries)
+        hc_keys, hc_vals = _read_map_file(hc_path, wide=True)
+        all_keys.append(hc_keys)
+        all_vals.append(hc_vals)
+    keys = np.concatenate(all_keys) if all_keys else np.zeros(0, np.uint64)
+    vals = (np.concatenate(all_vals) if all_vals
+            else np.zeros((0, 9), np.uint32))
+    missing = np.setdiff1d(np.concatenate(tombstones)
+                           if tombstones else np.zeros(0, np.uint64),
+                           hc_keys)
+    if missing.size:
+        raise ValueError(
+            f"int32 map missing 255 value from int8 map: key {missing[0]}")
+    order = np.argsort(keys, kind="stable")
+    keys, vals = keys[order], vals[order]
+    return KmerTable(k, keys, vals[:, 8].copy(), vals[:, 0:4].copy(),
+                     vals[:, 4:8].copy())
 
 
 def _write_phmap(path: str, items, slot_size: int, pack_value) -> None:

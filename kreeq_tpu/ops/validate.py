@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .kmers import kmer_positions, probe_sorted
+from .kmers import kmer_positions, probe_merge
 
 
 @partial(jax.jit, static_argnums=(5, 6))
@@ -34,7 +34,7 @@ def validate_positions(tkeys, tcov, tfw, tbw, codes, k: int, cutoff: int):
     n = codes.shape[0]
     p = n - k + 1
     keys, isfw, _edges, valid = kmer_positions(codes, k)
-    found, cov, fw, bw = probe_sorted(tkeys, tcov, tfw, tbw, keys)
+    found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw, keys)
     found = found & valid
 
     nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])

@@ -2,14 +2,17 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh: sharding/collective code paths
-# compile and execute without TPU hardware.  Must be set before jax import;
-# direct assignment (the ambient environment pre-sets JAX_PLATFORMS).
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# compile and execute without TPU hardware.  The ambient environment
+# imports jax at interpreter startup (sitecustomize) with
+# JAX_PLATFORMS=axon, so env mutation is too late — use jax.config
+# before any backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
