@@ -25,7 +25,7 @@ def main() -> None:
     from kreeq_tpu.ops.validate import validate_positions
 
     k = 31
-    chunk = 1 << 22  # 4M bases per step
+    chunk = 1 << 23  # 8M bases per step (empirically best on v5e)
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, chunk).astype(np.uint8)

@@ -37,7 +37,8 @@ _LONG = {
     "--max-memory": "m", "--threads": "j",
 }
 _FLAGS = {"--verbose": "verbose", "--cmd": "cmd", "--no-collapse":
-          "no_collapse", "--no-reference": "no_reference"}
+          "no_collapse", "--no-reference": "no_reference",
+          "--profile": "profile"}
 _LONG_VALUED = {"--search-depth": "kmer_depth", "--max-span": "max_span",
                 "--traversal-algorithm": "trav_algorithm"}
 
@@ -150,18 +151,30 @@ def run(argv: List[str]) -> int:
     from ..core.table import KmerTable
     from ..io.fastx import load_genome
     from ..io.sequence import Genome
+    from ..utils import log
+
+    log.set_flags(ui.verbose, getattr(ui, "profile", False))
 
     if ui.mode == 0:  # validate (reference: src/input.cpp:86-118)
         if ui.in_reads:
-            table = KmerTable.from_reads(ui.in_reads, ui.kmer_len)
+            log.verbose("Loading input reads.")
+            with log.phase("build k-mer DB"):
+                table = KmerTable.from_reads(ui.in_reads, ui.kmer_len)
+            log.verbose("Reads loaded.")
         else:
-            table = load_graph(ui)
+            with log.phase("load k-mer DB"):
+                table = load_graph(ui)
         dbg = DBG(ui, table)
         if ui.in_sequence:
-            genome = Genome()
-            load_genome(ui.in_sequence, genome)
-            dbg.load_genome(genome)
-        report(dbg)
+            log.verbose("Loading input sequences")
+            with log.phase("load genome"):
+                genome = Genome()
+                load_genome(ui.in_sequence, genome)
+                dbg.load_genome(genome)
+            log.verbose("Sequences loaded")
+        with log.phase("report"):
+            report(dbg)
+        log.print_profile()
     elif ui.mode == 1:  # union (reference: src/input.cpp:119-152)
         from ..io.kreeqdb import read_index, read_kreeq
 

@@ -27,6 +27,7 @@ class UserInput:
     max_mem: float = 0.0
     threads: int = 0
     verbose: bool = False
+    profile: bool = False
     stats_flag: bool = False
 
     def resolved_kmer_depth(self) -> int:

@@ -55,39 +55,166 @@ class KmerTable:
 
     @classmethod
     def from_reads(cls, read_files: Iterable[str], k: int,
-                   chunk: int = 1 << 20) -> "KmerTable":
+                   chunk: int = 1 << 20, mesh=None) -> "KmerTable":
         """Count canonical k-mers of all reads on device.
 
         Device pipeline per chunk: kmer_positions -> count_sorted; the
         per-chunk unique tables are reduced by pairwise device merges
         (replaces reference build phase, src/graph-builder.cpp:34-223).
+
+        With `mesh` (or automatically when several devices are
+        attached), chunks are counted by the SPMD sharded pipeline:
+        records route to owner shards over ICI and each device builds
+        its sub-table (see kreeq_tpu/parallel/sharded.py).
         """
+        import jax
         import jax.numpy as jnp
 
         from ..io.fastx import iter_reads
         from ..ops import kmers as K
 
+        read_files = list(read_files)
+        if mesh is None and len(jax.devices()) > 1:
+            # auto-shard only when the workload amortizes the SPMD
+            # dispatch (tiny inputs are faster single-device)
+            try:
+                import os
+
+                total = sum(os.path.getsize(p) for p in read_files)
+            except (OSError, TypeError):
+                total = 0
+            if total > 8 * chunk:
+                from ..parallel.sharded import make_mesh
+
+                mesh = make_mesh()
+        if mesh is not None and mesh.devices.size > 1:
+            return cls._from_reads_sharded(read_files, k, chunk, mesh)
+
         def read_iter():
             for path in read_files:
                 yield from iter_reads(path)
 
-        acc = None  # (keys, cov, fw, bw) trimmed device arrays
+        # tree-merge chunk tables: pairwise device merges of similarly
+        # sized partials keep each merge O(size) instead of rescanning
+        # an ever-growing accumulator per chunk
+        levels = []  # levels[i] holds at most one table of "size 2^i"
+
+        def merge(a, b):
+            mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
+            nm = int(nm)
+            return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
+
+        def push(part):
+            i = 0
+            while True:
+                if i == len(levels):
+                    levels.append(part)
+                    return
+                if levels[i] is None:
+                    levels[i] = part
+                    return
+                part = merge(levels[i], part)
+                levels[i] = None
+                i += 1
+
         for buf in K.pack_reads(read_iter(), k, chunk):
             keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
             ukeys, cov, fw, bw, n = K.count_sorted(keys, edges, valid)
             n = int(n)
-            part = (ukeys[:n], cov[:n], fw[:n], bw[:n])
-            if acc is None:
-                acc = part
-            else:
-                m = acc[0].shape[0] + n
-                mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*acc, *part)
-                nm = int(nm)
-                acc = (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
-                del m
+            push((ukeys[:n], cov[:n], fw[:n], bw[:n]))
+
+        acc = None
+        for part in levels:
+            if part is None:
+                continue
+            acc = part if acc is None else merge(acc, part)
         if acc is None:
             return cls.empty(k)
         return cls(k, *(np.asarray(a) for a in acc))
+
+    @classmethod
+    def _from_reads_sharded(cls, read_files, k: int, chunk: int,
+                            mesh) -> "KmerTable":
+        """SPMD build: per-super-chunk sharded count + per-shard
+        tree-merge, final host k-way concat (shards are disjoint)."""
+        import jax.numpy as jnp
+
+        from ..io.fastx import iter_reads
+        from ..ops import kmers as K
+        from ..parallel.sharded import sharded_count_fn
+
+        n = mesh.devices.size
+        count = sharded_count_fn(mesh, k)
+
+        def read_iter():
+            for path in read_files:
+                yield from iter_reads(path)
+
+        def merge(a, b):
+            mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
+            nm = int(nm)
+            return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
+
+        shard_levels = [[] for _ in range(n)]
+
+        def push(s, part):
+            lv = shard_levels[s]
+            i = 0
+            while True:
+                if i == len(lv):
+                    lv.append(part)
+                    return
+                if lv[i] is None:
+                    lv[i] = part
+                    return
+                part = merge(lv[i], part)
+                lv[i] = None
+                i += 1
+
+        bufs = []
+        chunks = K.pack_reads(read_iter(), k, chunk)
+
+        def flush():
+            if not bufs:
+                return
+            while len(bufs) < n:
+                bufs.append(np.full(len(bufs[0]), 4, np.uint8))
+            width = max(len(b) for b in bufs)
+            if width < chunk:
+                width = chunk  # keep shapes static across flushes
+            block = np.full((n, width), 4, np.uint8)
+            for i, b in enumerate(bufs):
+                block[i, :len(b)] = b
+            tkeys, tcov, tfw, tbw, nv = count(jnp.asarray(block))
+            for s in range(n):
+                m = int(nv[s])
+                push(s, (tkeys[s, :m], tcov[s, :m], tfw[s, :m],
+                         tbw[s, :m]))
+            bufs.clear()
+
+        for buf in chunks:
+            bufs.append(buf)
+            if len(bufs) == n:
+                flush()
+        flush()
+
+        shard_tables = []
+        for s in range(n):
+            acc = None
+            for part in shard_levels[s]:
+                if part is None:
+                    continue
+                acc = part if acc is None else merge(acc, part)
+            if acc is not None:
+                shard_tables.append(tuple(np.asarray(a) for a in acc))
+        if not shard_tables:
+            return cls.empty(k)
+        keys = np.concatenate([t[0] for t in shard_tables])
+        cov = np.concatenate([t[1] for t in shard_tables])
+        fw = np.concatenate([t[2] for t in shard_tables])
+        bw = np.concatenate([t[3] for t in shard_tables])
+        order = np.argsort(keys, kind="stable")
+        return cls(k, keys[order], cov[order], fw[order], bw[order])
 
     @classmethod
     def from_entries(cls, k: int, entries: Dict[int, tuple]) -> "KmerTable":

@@ -111,5 +111,11 @@ def test_sharded_tables_match_host_table(mesh):
                 fh.write(f">r{i}\n{r}\n")
             paths.append(p)
         want = KmerTable.from_reads(paths, k)
+        # explicit-mesh build must agree with the single-device build
+        sharded = KmerTable.from_reads(paths, k, chunk=256, mesh=mesh)
     assert got == {int(want.keys[i]): int(want.cov[i])
                    for i in range(len(want))}
+    assert np.array_equal(sharded.keys, want.keys)
+    assert np.array_equal(sharded.cov, want.cov)
+    assert np.array_equal(sharded.fw, want.fw)
+    assert np.array_equal(sharded.bw, want.bw)
