@@ -1,0 +1,24 @@
+# Convenience targets (the compute path needs no build; the native C++
+# runtime auto-builds on first use — this just makes it explicit).
+
+.PHONY: all native test golden bench clean
+
+all: native
+
+native:
+	g++ -O3 -std=gnu++17 -shared -fPIC \
+	  kreeq_tpu/native/kreeq_native.cpp \
+	  -o kreeq_tpu/native/libkreeq_native.so -lz
+
+test:
+	python3 -m pytest tests/ -q
+
+golden:
+	bin/kreeq-validate /root/reference/validateFiles
+
+bench:
+	python3 bench.py
+
+clean:
+	rm -f kreeq_tpu/native/libkreeq_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

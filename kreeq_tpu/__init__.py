@@ -15,10 +15,27 @@ with the on-disk `.kreeq` databases produced by the reference
 (validated against testFiles/test1.kreeq).
 """
 
+import os as _os
+
 import jax as _jax
 
 # 64-bit keys (k <= 32 -> up to 64-bit packed k-mers) require x64 mode.
 # Must be set before any JAX computation runs.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: kernel shapes are stable across runs
+# (fixed chunk sizes, power-of-two merge buckets), so repeat runs skip
+# XLA compilation entirely.
+if not _os.environ.get("KREEQ_TPU_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "KREEQ_TPU_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/kreeq_tpu_jax"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except (OSError, AttributeError):
+        pass
 
 __version__ = "0.1.0"

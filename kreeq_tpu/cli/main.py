@@ -40,7 +40,9 @@ _FLAGS = {"--verbose": "verbose", "--cmd": "cmd", "--no-collapse":
           "no_collapse", "--no-reference": "no_reference",
           "--profile": "profile"}
 _LONG_VALUED = {"--search-depth": "kmer_depth", "--max-span": "max_span",
-                "--traversal-algorithm": "trav_algorithm"}
+                "--traversal-algorithm": "trav_algorithm",
+                "--detect-anomalies": "anomalies_out",
+                "--trace-dir": "trace_dir"}
 
 
 def parse_args(argv: List[str]) -> UserInput:
@@ -75,10 +77,11 @@ def parse_args(argv: List[str]) -> UserInput:
             continue
         if a in _LONG_VALUED:
             val = argv[i + 1]
-            if _LONG_VALUED[a] == "trav_algorithm":
-                ui.trav_algorithm = val
+            dest = _LONG_VALUED[a]
+            if dest in ("trav_algorithm", "anomalies_out", "trace_dir"):
+                setattr(ui, dest, val)
             else:
-                setattr(ui, _LONG_VALUED[a], int(val))
+                setattr(ui, dest, int(val))
             i += 2
             continue
         short = _LONG.get(a, a[1:] if a.startswith("-") and len(a) == 2
@@ -154,6 +157,8 @@ def run(argv: List[str]) -> int:
     from ..utils import log
 
     log.set_flags(ui.verbose, getattr(ui, "profile", False))
+    if ui.trace_dir:
+        log.maybe_start_jax_profiler(ui.trace_dir)
 
     if ui.mode == 0:  # validate (reference: src/input.cpp:86-118)
         if ui.in_reads:
@@ -174,7 +179,14 @@ def run(argv: List[str]) -> int:
             log.verbose("Sequences loaded")
         with log.phase("report"):
             report(dbg)
+        if ui.anomalies_out:
+            from ..core.variants import write_anomalies
+
+            with log.phase("detect anomalies"):
+                write_anomalies(dbg, ui.anomalies_out)
         log.print_profile()
+        if ui.trace_dir:
+            log.maybe_stop_jax_profiler()
     elif ui.mode == 1:  # union (reference: src/input.cpp:119-152)
         from ..io.kreeqdb import read_index, read_kreeq
 

@@ -28,6 +28,8 @@ class UserInput:
     threads: int = 0
     verbose: bool = False
     profile: bool = False
+    anomalies_out: str = ""
+    trace_dir: str = ""
     stats_flag: bool = False
 
     def resolved_kmer_depth(self) -> int:

@@ -17,8 +17,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..config import UserInput, get_file_ext
-from ..io.sequence import Genome, SEGMENT
+from ..config import UserInput
+from ..io.sequence import Genome
 from ..utils.fmt import cpp_double
 from .table import KmerTable
 
@@ -85,6 +85,11 @@ class DBG:
     def load_genome(self, genome: Genome) -> None:
         self.genome = genome
 
+    # window width for chromosome-scale segments: positions are
+    # processed in fixed windows with one base of edge context on each
+    # side, bounding device memory and JIT shapes
+    VALIDATE_WINDOW = 1 << 22
+
     def validate_sequences(self, out=None) -> None:
         """QV computation + per-base tracks (reference:
         src/kreeq.cpp:47-108)."""
@@ -112,27 +117,38 @@ class DBG:
                                  np.zeros(ln, np.uint32)))
                 continue
             codes = seg.codes
-            nbuf = _bucket(ln)
-            buf = np.full(nbuf, 4, np.uint8)
-            buf[:ln] = codes
-            (valid, missing, edge_missing, cov, isfw, right,
-             left) = validate_positions(tkeys, tcov, tfw, tbw,
-                                        jnp.asarray(buf), k,
-                                        self.ui.cov_cutoff)
             kcount = ln - k + 1
-            valid = np.asarray(valid[:kcount])
-            self.tot_missing += int(np.asarray(missing[:kcount]).sum())
-            self.tot_edge_missing += int(
-                np.asarray(edge_missing[:kcount]).sum())
-            self.tot_kcount += kcount
             track = SegmentTrack(np.zeros(ln, np.uint32),
                                  np.zeros(ln, bool),
                                  np.zeros(ln, np.uint32),
                                  np.zeros(ln, np.uint32))
-            track.cov[:kcount] = np.asarray(cov[:kcount])
-            track.isfw[:kcount] = np.asarray(isfw[:kcount])
-            track.right[:kcount] = np.asarray(right[:kcount])
-            track.left[:kcount] = np.asarray(left[:kcount])
+            win = self.VALIDATE_WINDOW
+            for a in range(0, kcount, win):
+                b = min(a + win, kcount)
+                # one base of context on each side keeps the edge
+                # tests exact at window seams
+                nbuf = _bucket(b - a + k + 1) if b - a + k + 1 < win \
+                    else win + k + 1
+                buf = np.full(nbuf, 4, np.uint8)
+                lead = 1
+                if a > 0:
+                    buf[0] = codes[a - 1]
+                buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
+                if b < kcount:
+                    buf[lead + (b - a) + k - 1] = codes[b + k - 1]
+                (valid, missing, edge_missing, cov, isfw, right,
+                 left) = validate_positions(tkeys, tcov, tfw, tbw,
+                                            jnp.asarray(buf), k,
+                                            self.ui.cov_cutoff)
+                sl = slice(lead, lead + (b - a))
+                self.tot_missing += int(np.asarray(missing[sl]).sum())
+                self.tot_edge_missing += int(
+                    np.asarray(edge_missing[sl]).sum())
+                track.cov[a:b] = np.asarray(cov[sl])
+                track.isfw[a:b] = np.asarray(isfw[sl])
+                track.right[a:b] = np.asarray(right[sl])
+                track.left[a:b] = np.asarray(left[sl])
+            self.tot_kcount += kcount
             self.tracks.append(track)
 
         if "." in self.ui.out_file or self.ui.out_file == "":

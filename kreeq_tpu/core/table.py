@@ -13,11 +13,38 @@ src/graph-builder.cpp:160-205).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, Optional, Tuple
 
 import numpy as np
 
 MAP_COUNT = 128  # on-disk partition count, pinned by .kreeq/.index files
+
+
+
+def _pad_part(part, size):
+    """Pad a trimmed (keys, cov, fw, bw) tuple with SENTINEL rows to a
+    power-of-two size: merge shapes then repeat across calls, which
+    matters because every new shape pair costs a full XLA compile."""
+    import jax.numpy as jnp
+
+    from ..ops.kmers import SENTINEL
+
+    keys, cov, fw, bw = part
+    n = keys.shape[0]
+    if n == size:
+        return part
+    pad = size - n
+    return (jnp.concatenate([keys, jnp.full((pad,), SENTINEL, keys.dtype)]),
+            jnp.concatenate([cov, jnp.zeros((pad,), cov.dtype)]),
+            jnp.concatenate([fw, jnp.zeros((pad, 4), fw.dtype)]),
+            jnp.concatenate([bw, jnp.zeros((pad, 4), bw.dtype)]))
+
+
+def _pow2(n: int) -> int:
+    size = 1024
+    while size < n:
+        size *= 2
+    return size
 
 
 @dataclass
@@ -55,7 +82,7 @@ class KmerTable:
 
     @classmethod
     def from_reads(cls, read_files: Iterable[str], k: int,
-                   chunk: int = 1 << 20, mesh=None) -> "KmerTable":
+                   chunk: int = 1 << 23, mesh=None) -> "KmerTable":
         """Count canonical k-mers of all reads on device.
 
         Device pipeline per chunk: kmer_positions -> count_sorted; the
@@ -100,6 +127,8 @@ class KmerTable:
         levels = []  # levels[i] holds at most one table of "size 2^i"
 
         def merge(a, b):
+            a = _pad_part(a, _pow2(a[0].shape[0]))
+            b = _pad_part(b, _pow2(b[0].shape[0]))
             mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
             nm = int(nm)
             return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
@@ -117,11 +146,15 @@ class KmerTable:
                 levels[i] = None
                 i += 1
 
-        for buf in K.pack_reads(read_iter(), k, chunk):
+        from ..utils import log
+
+        for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
             keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
             ukeys, cov, fw, bw, n = K.count_sorted(keys, edges, valid)
             n = int(n)
             push((ukeys[:n], cov[:n], fw[:n], bw[:n]))
+            log.verbose(f"counted chunk {i} ({len(buf)} bases, "
+                        f"{n} distinct)")
 
         acc = None
         for part in levels:
@@ -151,6 +184,8 @@ class KmerTable:
                 yield from iter_reads(path)
 
         def merge(a, b):
+            a = _pad_part(a, _pow2(a[0].shape[0]))
+            b = _pad_part(b, _pow2(b[0].shape[0]))
             mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
             nm = int(nm)
             return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
@@ -238,11 +273,13 @@ class KmerTable:
             return other
         if len(other) == 0:
             return self
-        mkeys, mcov, mfw, mbw, n = K.merge_sorted(
-            jnp.asarray(self.keys), jnp.asarray(self.cov),
-            jnp.asarray(self.fw), jnp.asarray(self.bw),
-            jnp.asarray(other.keys), jnp.asarray(other.cov),
-            jnp.asarray(other.fw), jnp.asarray(other.bw))
+        a = _pad_part((jnp.asarray(self.keys), jnp.asarray(self.cov),
+                       jnp.asarray(self.fw), jnp.asarray(self.bw)),
+                      _pow2(len(self)))
+        b = _pad_part((jnp.asarray(other.keys), jnp.asarray(other.cov),
+                       jnp.asarray(other.fw), jnp.asarray(other.bw)),
+                      _pow2(len(other)))
+        mkeys, mcov, mfw, mbw, n = K.merge_sorted(*a, *b)
         n = int(n)
         return KmerTable(self.k, *(np.asarray(a[:n]) for a in
                                    (mkeys, mcov, mfw, mbw)))

@@ -18,7 +18,7 @@ replicates the reference's quirks exactly:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 from ..constants import revcom
@@ -50,6 +50,67 @@ def correct_sequences(dbg, out=None) -> None:
         dbg_to_variants(dbg, seg)
         if to_gfa:
             variants_to_gfa(dbg, seg)
+
+
+def detect_anomalies(dbg, seg) -> List[Tuple[int, int]]:
+    """Flag positions whose k-mer is missing or whose forward edge to
+    the next assembly base is absent (reference:
+    src/variants.cpp:406-456 — legacy code whose output is pinned by
+    testFiles/random1.anomalies.bed).  Returns merged 1-based inclusive
+    ranges of anomalous k-mer start positions."""
+    k = dbg.k
+    ln = len(seg)
+    if ln < k:
+        return []
+    kcount = ln - k + 1
+    codes = seg.codes
+    table = dbg.table
+
+    anomalies = []
+    for c in range(kcount):
+        fw = 0
+        for j in range(k):
+            fw |= int(codes[c + j]) << (2 * j)
+        key, isfw = canonical(fw, k)
+        rec = table.lookup(key)
+        anomaly = False
+        if rec is not None:
+            rfw, rbw, _cov = rec
+            if c < kcount - 1:
+                nxt = int(codes[c + k])
+                if (isfw and rfw[nxt] == 0) or \
+                        (not isfw and rbw[3 - nxt] == 0):
+                    anomaly = True
+        else:
+            anomaly = True
+        if anomaly:
+            anomalies.append(c)
+
+    ranges: List[Tuple[int, int]] = []
+    for c in anomalies:
+        if ranges and c == ranges[-1][1]:
+            ranges[-1] = (ranges[-1][0], c + 1)
+        else:
+            ranges.append((c, c + 1))
+    return [(a + 1, b) for a, b in ranges]
+
+
+def write_anomalies(dbg, out_path: str) -> None:
+    with open(out_path, "w") as fh:
+        for seg, path in zip(dbg.genome.segments,
+                             _segment_paths(dbg.genome)):
+            for a, b in detect_anomalies(dbg, seg):
+                fh.write(f"{path}\t{a}\t{b}\n")
+
+
+def _segment_paths(genome):
+    """Path header owning each segment, in segment order."""
+    owner = {}
+    for path in genome.paths:
+        for comp in path.components:
+            if comp.ctype == "S":
+                owner[comp.id] = path.header
+    return [owner.get(seg.uid, seg.header) for seg in genome.segments]
 
 
 def variants_to_gfa(dbg, seg) -> None:

@@ -117,7 +117,7 @@ def load_gfa(stream, genome: Genome) -> Genome:
     testFiles/random1.gfa).  Segments not referenced by any P line get a
     single-segment path of the same header (gfastar convention).
     """
-    from .sequence import SEGMENT, GAP, PathComponent, Path, Edge
+    from .sequence import SEGMENT, PathComponent, Path, Edge
 
     s_lines = []
     p_lines = []

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import sys
 
-from ..core.variants import COM, DEL, INS, SNV
+from ..core.variants import COM, INS, SNV
 
 HEADER = (
     "##fileformat=VCFv4.2\n"

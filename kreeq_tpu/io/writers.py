@@ -4,12 +4,11 @@ targets (reference: src/kreeq-output.cpp:138-407)."""
 from __future__ import annotations
 
 import struct
-import sys
-from typing import List, TextIO
+from typing import TextIO
 
 import numpy as np
 
-from ..io.sequence import GAP, SEGMENT
+from ..io.sequence import SEGMENT
 
 
 def _iter_path_segments(dbg):

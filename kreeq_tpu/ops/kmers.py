@@ -285,4 +285,9 @@ def pack_reads(seqs, k: int, chunk: int):
         buf[pos:pos + m] = codes
         pos += m + 1  # one BAD separator
     if pos > 0:
-        yield buf
+        # trim the final partial buffer to a power-of-two bucket so tiny
+        # workloads don't pay for a full chunk-sized sort
+        size = 64
+        while size < pos:
+            size *= 2
+        yield buf[:size]

@@ -1,0 +1,216 @@
+"""Pallas TPU kernel: streaming run-aggregation of sorted k-mer records.
+
+After the device sort, the XLA count path spends most of its time in a
+[P,9] cumsum plus a [P,11] random-row scatter (HBM-bound gather/scatter
+rounds).  This kernel replaces both with ONE streaming pass over the
+sorted records:
+
+  * the TPU Pallas grid runs sequentially on a core, so scalar/vector
+    scratch carries the running state (previous key, running column
+    totals, output offset) across tiles;
+  * per-tile inclusive prefix sums and stream compaction are MXU
+    matmuls (lower-triangular ones / rank-one-hot), exact in f32
+    because all counts are < 2^24 per chunk;
+  * compacted rows are written with async DMA at a running offset —
+    successive writes overlap the previous tile's padding, so no
+    scatter is ever needed.
+
+A run's aggregate row is emitted when the first record of the NEXT run
+is seen; the wrapper appends a tile of sentinel keys so the final real
+run always flushes.  Output rows hold cumulative column sums; the
+wrapper takes adjacent differences to recover per-run totals
+(cov, fw[4], bw[4]) and reassembles u64 keys from u16 limbs.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256
+NCOL = 16  # 9 sums + 4 key u16 limbs + padding
+
+_SENT32 = -1  # 0xFFFFFFFF as i32 (python int: avoids captured consts)
+
+
+def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
+            carry_ref, tot_ref, row_ref, sem_ref):
+    """Refs: lo/hi/edges [TILE,1] i32 blocks; out [cap,NCOL] f32 in ANY;
+    cnt [1,1] i32 out; scratch: carry (SMEM i32[4]: prev_lo, prev_hi,
+    out_off, first), tot (VMEM [1,NCOL] f32 running totals),
+    row (VMEM [TILE,NCOL] f32 staging), sem DMA."""
+    t = pl.program_id(0)
+
+    lo = lo_ref[:, 0]
+    hi = hi_ref[:, 0]
+    edges = edges_ref[:, 0]
+
+    @pl.when(t == 0)
+    def _():
+        carry_ref[0] = _SENT32
+        carry_ref[1] = _SENT32
+        carry_ref[2] = 0
+        carry_ref[3] = 1
+        tot_ref[:, :] = jnp.zeros((1, NCOL), jnp.float32)
+
+    prev_lo_in = carry_ref[0]
+    prev_hi_in = carry_ref[1]
+    out_off = carry_ref[2]
+    is_first = carry_ref[3]
+
+    # previous-position key (roll by one sublane, carry into row 0)
+    sub0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] == 0
+    prev_lo = jnp.where(sub0, prev_lo_in, pltpu.roll(lo, np.int32(1), axis=0))
+    prev_hi = jnp.where(sub0, prev_hi_in, pltpu.roll(hi, np.int32(1), axis=0))
+
+    start = (lo != prev_lo) | (hi != prev_hi)
+    prev_real = ~((prev_lo == _SENT32) & (prev_hi == _SENT32))
+    emit = start & prev_real  # emit the run that just ended
+
+    # column matrix M [TILE, NCOL]: cov + 8 edge-bit columns
+    col = jax.lax.broadcasted_iota(jnp.int32, (TILE, NCOL), 1)
+    e2d = jnp.broadcast_to(edges[:, None], (TILE, NCOL))
+    shift = jnp.maximum(col - jnp.ones((TILE, NCOL), jnp.int32),
+                        jnp.zeros((TILE, NCOL), jnp.int32))
+    bits = jax.lax.shift_right_logical(e2d, shift) & jnp.ones(
+        (TILE, NCOL), jnp.int32)
+    m = jnp.where(col == 0, jnp.ones((TILE, NCOL), jnp.int32), bits)
+    m = jnp.where(col < 9, m,
+                  jnp.zeros((TILE, NCOL), jnp.int32)).astype(jnp.float32)
+
+    # inclusive prefix sums via lower-triangular MXU matmul (exact:
+    # cumulative counts stay < 2^24 per chunk)
+    r = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    lower = (c <= r).astype(jnp.float32)
+    cum = jax.lax.dot_general(lower, m, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    cum = cum + tot_ref[0, :][None, :]
+
+    # emitted row for position j = cumulative sums at j-1 (= totals of
+    # the ending run) + the ENDING run's key limbs (prev key)
+    cum_prev = jnp.where(sub0[:, None], tot_ref[0, :][None, :],
+                         pltpu.roll(cum, np.int32(1), axis=0))
+    u16lo0 = (prev_lo & 0xFFFF).astype(jnp.float32)
+    u16lo1 = ((prev_lo >> 16) & 0xFFFF).astype(jnp.float32)
+    u16hi0 = (prev_hi & 0xFFFF).astype(jnp.float32)
+    u16hi1 = ((prev_hi >> 16) & 0xFFFF).astype(jnp.float32)
+    keycols = jnp.stack([u16lo0, u16lo1, u16hi0, u16hi1], axis=1)
+    zf = jnp.zeros((TILE, NCOL), jnp.float32)
+    rows = jnp.where(col < 9, cum_prev, zf)
+    rows = jnp.where((col >= 9) & (col < 13),
+                     jnp.pad(keycols, ((0, 0), (9, NCOL - 13))), rows)
+
+    # stream compaction: one-hot of emission ranks, contracted on MXU
+    emit_f = emit.astype(jnp.float32)
+    rank = jax.lax.dot_general(lower, emit_f[:, None],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)[:, 0]
+    d = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    onehot_t = ((rank[:, None].astype(jnp.int32) - 1 == d)
+                & emit[:, None]).astype(jnp.float32)
+    compacted = jax.lax.dot_general(onehot_t, rows,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    row_ref[:, :] = compacted
+    ntile = jnp.sum(emit_f).astype(jnp.int32)
+
+    copy = pltpu.make_async_copy(
+        row_ref, out_ref.at[pl.ds(out_off, TILE), :], sem_ref)
+    copy.start()
+    copy.wait()
+
+    # carry state forward
+    carry_ref[0] = lo[TILE - 1]
+    carry_ref[1] = hi[TILE - 1]
+    carry_ref[2] = out_off + ntile
+    carry_ref[3] = 0
+    tot_ref[:, :] = cum[TILE - 1, :][None, :]
+    del is_first
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        cnt_ref[0, 0] = out_off + ntile
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _run_pallas(lo, hi, edges, grid: int):
+    cap = grid * TILE + TILE
+    out, cnt = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap, NCOL), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((1, NCOL), jnp.float32),
+            pltpu.VMEM((TILE, NCOL), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
+    )(lo, hi, edges)
+    return out, cnt
+
+
+@partial(jax.jit, static_argnums=())
+def count_sorted_pallas(keys, edges, valid):
+    """Drop-in replacement for ops.kmers.count_sorted (same contract)."""
+    from .kmers import SENTINEL
+
+    p = keys.shape[0]
+    skeys = jnp.where(valid, keys, SENTINEL)
+    sedges = jnp.where(valid, edges, 0).astype(jnp.uint32)
+    hi = (skeys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = skeys.astype(jnp.uint32)
+    hi, lo, sedges = jax.lax.sort((hi, lo, sedges), num_keys=2)
+
+    pad = (-p) % TILE + TILE  # round up + one full sentinel tile
+    grid = (p + pad) // TILE
+
+    def ext(a, fill):
+        return jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+
+    lo_i = ext(lo, 0xFFFFFFFF).astype(jnp.int32).reshape(-1, 1)
+    hi_i = ext(hi, 0xFFFFFFFF).astype(jnp.int32).reshape(-1, 1)
+    ed_i = ext(sedges, 0).astype(jnp.int32).reshape(-1, 1)
+
+    out, cnt = _run_pallas(lo_i, hi_i, ed_i, grid)
+    n = cnt[0, 0].astype(jnp.uint32)
+
+    live = (jnp.arange(out.shape[0], dtype=jnp.uint32)
+            < n)[:, None]
+    sums = jnp.where(live, out[:, :9], 0.0)
+    totals = (sums - jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), sums[:-1]], axis=0))
+    totals = jnp.where(live, totals, 0.0).astype(jnp.uint32)
+
+    k16 = jnp.where(live, out[:, 9:13], 0.0).astype(jnp.uint32)
+    ukeys = (k16[:, 0].astype(jnp.uint64)
+             | (k16[:, 1].astype(jnp.uint64) << jnp.uint64(16))
+             | (k16[:, 2].astype(jnp.uint64) << jnp.uint64(32))
+             | (k16[:, 3].astype(jnp.uint64) << jnp.uint64(48)))
+    ukeys = jnp.where(live[:, 0], ukeys, SENTINEL)
+
+    return (ukeys[:p], totals[:p, 0], totals[:p, 1:5], totals[:p, 5:9],
+            n)

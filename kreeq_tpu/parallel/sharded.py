@@ -19,12 +19,10 @@ per-shard sorted merge with no data movement between shards.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kmers import SENTINEL, count_sorted, kmer_positions, probe_sorted
 

@@ -10,6 +10,7 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["KREEQ_TPU_NO_COMPILE_CACHE"] = "1"  # cache writes slow CPU tests
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

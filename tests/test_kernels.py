@@ -131,7 +131,6 @@ def test_fixture_db_roundtrip(tmp_path):
     """read test1.kreeq -> write -> read: identical tables; and the
     fixture must equal counting random1.fastq (pins the hash encoding)."""
     from kreeq_tpu.core.table import KmerTable
-    from kreeq_tpu.io.fastx import iter_reads
     from kreeq_tpu.io.kreeqdb import read_kreeq, write_kreeq
 
     db = read_kreeq(os.path.join(REFERENCE, "testFiles", "test1.kreeq"))

@@ -1,4 +1,4 @@
-import struct, sys
+import struct
 
 VER = 0xFFFFFFFFFFFFFFF5
 
