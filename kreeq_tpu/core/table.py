@@ -148,9 +148,10 @@ class KmerTable:
 
         from ..utils import log
 
+        count_fn = K.get_count_sorted()
         for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
             keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
-            ukeys, cov, fw, bw, n = K.count_sorted(keys, edges, valid)
+            ukeys, cov, fw, bw, n = count_fn(keys, edges, valid)
             n = int(n)
             push((ukeys[:n], cov[:n], fw[:n], bw[:n]))
             log.verbose(f"counted chunk {i} ({len(buf)} bases, "

@@ -146,6 +146,23 @@ def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
     return ukeys, cov, fw, bw, n
 
 
+
+def get_count_sorted():
+    """Select the run-aggregation implementation.
+
+    KREEQ_TPU_PALLAS=1 selects the streaming Pallas kernel
+    (ops/pallas_kernels.py).  It is exact-match validated in interpret
+    mode; on this environment's tunneled TPU the Mosaic toolchain is
+    version-skewed (see KNOWN_GAPS.md), so the XLA path is the default.
+    """
+    import os
+
+    if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+        from .pallas_kernels import count_sorted_pallas
+
+        return count_sorted_pallas
+    return count_sorted
+
 @jax.jit
 def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     """Merge two sorted unique tables with saturating u32 adds.

@@ -40,42 +40,54 @@ _SENT32 = -1  # 0xFFFFFFFF as i32 (python int: avoids captured consts)
 
 
 def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
-            carry_ref, tot_ref, row_ref, sem_ref):
-    """Refs: lo/hi/edges [TILE,1] i32 blocks; out [cap,NCOL] f32 in ANY;
+            carry_ref, tot_ref, flush_ref, sem_ref):
+    """Refs: lo/hi/edges [TILE,1] i32 blocks; out [NCOL,cap] f32 in ANY;
     cnt [1,1] i32 out; scratch: carry (SMEM i32[4]: prev_lo, prev_hi,
-    out_off, first), tot (VMEM [1,NCOL] f32 running totals),
-    row (VMEM [TILE,NCOL] f32 staging), sem DMA."""
+    flushed_off (x128), tail_len), tot (VMEM [1,NCOL] f32 running
+    totals), flush (VMEM [NCOL,TILE+128] f32 staging incl. the pending
+    sub-128 tail), sem DMA.
+
+    HBM lane offsets must be 128-aligned, so compacted entries stream
+    through the flush buffer: each step merges the pending tail with
+    the new entries, DMAs a fixed [NCOL, TILE+128] window at the
+    aligned offset, and keeps the sub-128 remainder as the next tail
+    (the unflushed lanes are already correct in HBM; the next window
+    simply rewrites them at its start)."""
     t = pl.program_id(0)
 
-    lo = lo_ref[:, 0]
-    hi = hi_ref[:, 0]
-    edges = edges_ref[:, 0]
+    # all vectors stay 2-D [TILE, 1]: 1-D sublane rotates are not
+    # implemented by the mosaic backend
+    lo = lo_ref[:, :]
+    hi = hi_ref[:, :]
+    edges = edges_ref[:, :]
 
     @pl.when(t == 0)
     def _():
         carry_ref[0] = _SENT32
         carry_ref[1] = _SENT32
         carry_ref[2] = 0
-        carry_ref[3] = 1
+        carry_ref[3] = 0
         tot_ref[:, :] = jnp.zeros((1, NCOL), jnp.float32)
 
     prev_lo_in = carry_ref[0]
     prev_hi_in = carry_ref[1]
     out_off = carry_ref[2]
-    is_first = carry_ref[3]
+    tail_len = carry_ref[3]
 
     # previous-position key (roll by one sublane, carry into row 0)
-    sub0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)[:, 0] == 0
-    prev_lo = jnp.where(sub0, prev_lo_in, pltpu.roll(lo, np.int32(1), axis=0))
-    prev_hi = jnp.where(sub0, prev_hi_in, pltpu.roll(hi, np.int32(1), axis=0))
+    sub0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0) == 0
+    prev_lo = jnp.where(sub0, prev_lo_in,
+                        pltpu.roll(lo, np.int32(1), axis=0))
+    prev_hi = jnp.where(sub0, prev_hi_in,
+                        pltpu.roll(hi, np.int32(1), axis=0))
 
-    start = (lo != prev_lo) | (hi != prev_hi)
+    start = (lo != prev_lo) | (hi != prev_hi)  # [TILE, 1]
     prev_real = ~((prev_lo == _SENT32) & (prev_hi == _SENT32))
     emit = start & prev_real  # emit the run that just ended
 
     # column matrix M [TILE, NCOL]: cov + 8 edge-bit columns
     col = jax.lax.broadcasted_iota(jnp.int32, (TILE, NCOL), 1)
-    e2d = jnp.broadcast_to(edges[:, None], (TILE, NCOL))
+    e2d = jnp.broadcast_to(edges, (TILE, NCOL))
     shift = jnp.maximum(col - jnp.ones((TILE, NCOL), jnp.int32),
                         jnp.zeros((TILE, NCOL), jnp.int32))
     bits = jax.lax.shift_right_logical(e2d, shift) & jnp.ones(
@@ -95,53 +107,68 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
 
     # emitted row for position j = cumulative sums at j-1 (= totals of
     # the ending run) + the ENDING run's key limbs (prev key)
-    cum_prev = jnp.where(sub0[:, None], tot_ref[0, :][None, :],
+    cum_prev = jnp.where(sub0, tot_ref[0, :][None, :],
                          pltpu.roll(cum, np.int32(1), axis=0))
     u16lo0 = (prev_lo & 0xFFFF).astype(jnp.float32)
     u16lo1 = ((prev_lo >> 16) & 0xFFFF).astype(jnp.float32)
     u16hi0 = (prev_hi & 0xFFFF).astype(jnp.float32)
     u16hi1 = ((prev_hi >> 16) & 0xFFFF).astype(jnp.float32)
-    keycols = jnp.stack([u16lo0, u16lo1, u16hi0, u16hi1], axis=1)
+    keycols = jnp.concatenate([u16lo0, u16lo1, u16hi0, u16hi1], axis=1)
     zf = jnp.zeros((TILE, NCOL), jnp.float32)
     rows = jnp.where(col < 9, cum_prev, zf)
     rows = jnp.where((col >= 9) & (col < 13),
                      jnp.pad(keycols, ((0, 0), (9, NCOL - 13))), rows)
 
     # stream compaction: one-hot of emission ranks, contracted on MXU
-    emit_f = emit.astype(jnp.float32)
-    rank = jax.lax.dot_general(lower, emit_f[:, None],
+    emit_f = emit.astype(jnp.float32)  # [TILE, 1]
+    rank = jax.lax.dot_general(lower, emit_f,
                                (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)[:, 0]
+                               preferred_element_type=jnp.float32)
     d = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-    onehot_t = ((rank[:, None].astype(jnp.int32) - 1 == d)
-                & emit[:, None]).astype(jnp.float32)
-    compacted = jax.lax.dot_general(onehot_t, rows,
+    onehot_t = ((rank.astype(jnp.int32) - 1 == d)
+                & emit).astype(jnp.float32)
+    # [NCOL, TILE]: compacted entries along lanes
+    compacted = jax.lax.dot_general(rows, onehot_t,
                                     (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-    row_ref[:, :] = compacted
     ntile = jnp.sum(emit_f).astype(jnp.int32)
 
+    win = TILE + 128
+    comp_pad = jnp.pad(compacted, ((0, 0), (0, 128)))
+    shifted = pltpu.roll(comp_pad, tail_len, axis=1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (NCOL, win), 1)
+    merged = jnp.where(li < tail_len, flush_ref[:, :], shifted)
+
+    total = tail_len + ntile
+    c128 = jnp.int32(128)
+    nflush = (total // c128) * c128
+    flush_ref[:, :] = merged
     copy = pltpu.make_async_copy(
-        row_ref, out_ref.at[pl.ds(out_off, TILE), :], sem_ref)
+        flush_ref,
+        out_ref.at[:, pl.ds(pl.multiple_of(out_off, 128), win)],
+        sem_ref)
     copy.start()
     copy.wait()
+    # keep the sub-128 remainder as the next tail at lane 0
+    flush_ref[:, :] = pltpu.roll(merged,
+                                 (jnp.int32(win) - nflush) % jnp.int32(win),
+                                 axis=1)
 
     # carry state forward
-    carry_ref[0] = lo[TILE - 1]
-    carry_ref[1] = hi[TILE - 1]
-    carry_ref[2] = out_off + ntile
-    carry_ref[3] = 0
+    carry_ref[0] = lo[TILE - 1, 0]
+    carry_ref[1] = hi[TILE - 1, 0]
+    carry_ref[2] = out_off + nflush
+    carry_ref[3] = total - nflush
     tot_ref[:, :] = cum[TILE - 1, :][None, :]
-    del is_first
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        cnt_ref[0, 0] = out_off + ntile
+        cnt_ref[0, 0] = out_off + total
 
 
 @partial(jax.jit, static_argnums=(3,))
 def _run_pallas(lo, hi, edges, grid: int):
-    cap = grid * TILE + TILE
+    cap = grid * TILE + TILE + 384
     out, cnt = pl.pallas_call(
         _kernel,
         grid=(grid,),
@@ -158,13 +185,13 @@ def _run_pallas(lo, hi, edges, grid: int):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cap, NCOL), jnp.float32),
+            jax.ShapeDtypeStruct((NCOL, cap), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((4,), jnp.int32),
             pltpu.VMEM((1, NCOL), jnp.float32),
-            pltpu.VMEM((TILE, NCOL), jnp.float32),
+            pltpu.VMEM((NCOL, TILE + 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -196,6 +223,7 @@ def count_sorted_pallas(keys, edges, valid):
     ed_i = ext(sedges, 0).astype(jnp.int32).reshape(-1, 1)
 
     out, cnt = _run_pallas(lo_i, hi_i, ed_i, grid)
+    out = out.T  # [cap, NCOL]
     n = cnt[0, 0].astype(jnp.uint32)
 
     live = (jnp.arange(out.shape[0], dtype=jnp.uint32)
