@@ -1,0 +1,87 @@
+"""Feature locks for paths not covered by the golden corpus."""
+
+import contextlib
+import io
+import os
+import shlex
+
+import pytest
+
+from .conftest import REFERENCE, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference corpus not present")
+
+
+def _run(cmd, cwd=REFERENCE):
+    from kreeq_tpu.cli.main import run
+
+    old = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(cwd)
+        with contextlib.redirect_stdout(buf):
+            run(shlex.split(cmd))
+    finally:
+        os.chdir(old)
+    return buf.getvalue()
+
+
+def test_subgraph_bed_include(tmp_path):
+    """-p restricts the subgraph to BED spans (fewer k-mers kept)."""
+    bed = tmp_path / "roi.bed"
+    bed.write_text("sequence1\t5\t30\n")  # begin>0: the reference skips spans starting at 0
+    full = _run("kreeq subgraph -d testFiles/test1.kreeq "
+                "-f testFiles/random1.fasta --search-depth 0 --no-collapse")
+    sub = _run("kreeq subgraph -d testFiles/test1.kreeq "
+               "-f testFiles/random1.fasta --search-depth 0 --no-collapse "
+               f"-p {bed}")
+
+    def distinct(out):
+        for line in out.splitlines():
+            if line.startswith("Distinct"):
+                return int(line.split()[-1])
+
+    assert distinct(sub) < distinct(full)
+    assert distinct(sub) > 0
+
+
+def test_decompressor_expand(tmp_path):
+    """--expand reproduces the sliding-window per-base table."""
+    from kreeq_tpu.cli.decompressor import run as drun
+
+    buf = io.StringIO()
+    old = os.getcwd()
+    try:
+        os.chdir(REFERENCE)
+        with contextlib.redirect_stdout(buf):
+            drun(["kreeq-decompressor", "inflate", "-i",
+                  "testFiles/decompressor2.bkwig", "--expand"])
+    finally:
+        os.chdir(old)
+    lines = buf.getvalue().splitlines()
+    # 50 bases of sequence1, each row: header,absPos,k covs,k fw,k bw
+    assert len(lines) == 50
+    first = lines[0].split(",")
+    assert first[0] == "sequence1" and first[1] == "0"
+    assert len(first) == 2 + 3 * 21
+
+
+def test_union_three_databases():
+    out = _run("kreeq union -d testFiles/test1.kreeq testFiles/test2.kreeq "
+               "testFiles/random5.kreeq")
+    assert "DBG Summary statistics:" in out
+    tot = int([l for l in out.splitlines()
+               if l.startswith("Total kmers")][0].split()[-1])
+    assert tot > 1572  # more than the two-DB union golden
+
+
+def test_union_writes_database(tmp_path):
+    _run("kreeq union -d testFiles/test1.kreeq testFiles/test2.kreeq "
+         f"-o {tmp_path}/u.kreeq")
+    from kreeq_tpu.io.kreeqdb import read_kreeq
+
+    db = read_kreeq(str(tmp_path / "u.kreeq"))
+    st = db.stats()
+    assert (st.total, st.unique, st.distinct,
+            st.edges) == (1572, 13, 115, 196)  # test.35 golden numbers
