@@ -53,8 +53,11 @@ def main() -> None:
     kmers = chunk - k + 1
     count_rate = kmers / dt_count
 
-    # probe: assembly chunk against the built table
-    asm = jnp.asarray(rng.integers(0, 4, chunk).astype(np.uint8))
+    # probe: assembly chunk against the built table (4M window, the
+    # production validate window size — the merge-join sort scales with
+    # table+query so smaller probe windows pipeline better)
+    pchunk = 1 << 22
+    asm = jnp.asarray(rng.integers(0, 4, pchunk).astype(np.uint8))
 
     @jax.jit
     def probe_step(tkeys, cov, fw, bw, codes):
@@ -69,7 +72,7 @@ def main() -> None:
         carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
     _ = int(out[3][0])
     dt_probe = (time.perf_counter() - t0) / iters
-    probe_rate = kmers / dt_probe
+    probe_rate = (pchunk - k + 1) / dt_probe
 
     result = {
         "metric": "read kmers counted/s/chip",

@@ -15,6 +15,8 @@ def _iter_path_segments(dbg):
     """Yield (path, absPos, segment, track) walking path components
     (reference absPos bookkeeping: src/kreeq-output.cpp:156-238)."""
     genome = dbg.genome
+    if genome is None:
+        return
     genome.sort_paths_by_original()
     seg_index = {seg.uid: i for i, seg in enumerate(genome.segments)}
     for path in genome.paths:
@@ -98,6 +100,8 @@ def write_bkwig_index(dbg, fh) -> None:
 
 def print_bkwig(dbg) -> None:
     """Binary kwig (reference: src/kreeq-output.cpp:356-399)."""
+    if dbg.genome is None:
+        return
     with open(dbg.ui.out_file, "wb") as fh:
         fh.write(struct.pack("<B", dbg.k))
         dbg.genome.sort_paths_by_original()
@@ -128,6 +132,8 @@ def print_gfa(dbg) -> None:
 
 
 def print_vcf(dbg, out: TextIO = None) -> None:
+    if dbg.genome is None:
+        return
     from .vcf import write_vcf
 
     dbg.genome.sort_paths_by_original()

