@@ -21,7 +21,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import kreeq_tpu  # noqa: F401  (x64)
-    from kreeq_tpu.ops.kmers import count_sorted, kmer_positions
+    from kreeq_tpu.ops.kmers import (build_bucket_index, count_sorted,
+                                     kmer_positions)
     from kreeq_tpu.ops.validate import validate_positions
 
     k = 31
@@ -59,9 +60,15 @@ def main() -> None:
     pchunk = 1 << 22
     asm = jnp.asarray(rng.integers(0, 4, pchunk).astype(np.uint8))
 
+    bits = 22
+    starts = build_bucket_index(tkeys, k, bits)
+    counts = np.diff(np.asarray(starts))
+    rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
+
     @jax.jit
     def probe_step(tkeys, cov, fw, bw, codes):
-        return validate_positions(tkeys, cov, fw, bw, codes, k, 0)
+        return validate_positions(tkeys, cov, fw, bw, starts, codes, k, 0,
+                                  bits, rounds)
 
     out = probe_step(tkeys, cov, fw, bw, asm)
     _ = int(out[3][0])

@@ -102,11 +102,16 @@ class DBG:
 
         k = self.k
         self.tracks = []
-        tkeys, tcov, tfw, tbw = self.table.device_arrays() if len(
-            self.table) else (jnp.zeros(1, jnp.uint64) - 1,
-                              jnp.zeros(1, jnp.uint32),
-                              jnp.zeros((1, 4), jnp.uint32),
-                              jnp.zeros((1, 4), jnp.uint32))
+        if len(self.table):
+            tkeys, tcov, tfw, tbw = self.table.device_arrays()
+            starts, bits, rounds = self.table.bucket_index()
+        else:
+            tkeys = jnp.zeros(1, jnp.uint64) - 1
+            tcov = jnp.zeros(1, jnp.uint32)
+            tfw = jnp.zeros((1, 4), jnp.uint32)
+            tbw = jnp.zeros((1, 4), jnp.uint32)
+            bits, rounds = 8, 1
+            starts = jnp.zeros((1 << bits) + 1, jnp.int32)
         for seg in self.genome.segments:
             ln = len(seg)
             if ln < k:
@@ -137,9 +142,10 @@ class DBG:
                 if b < kcount:
                     buf[lead + (b - a) + k - 1] = codes[b + k - 1]
                 (valid, missing, edge_missing, cov, isfw, right,
-                 left) = validate_positions(tkeys, tcov, tfw, tbw,
+                 left) = validate_positions(tkeys, tcov, tfw, tbw, starts,
                                             jnp.asarray(buf), k,
-                                            self.ui.cov_cutoff)
+                                            self.ui.cov_cutoff, bits,
+                                            rounds)
                 sl = slice(lead, lead + (b - a))
                 self.tot_missing += int(np.asarray(missing[sl]).sum())
                 self.tot_edge_missing += int(

@@ -69,6 +69,7 @@ class KmerTable:
     fw: np.ndarray  # u32 [n, 4]
     bw: np.ndarray  # u32 [n, 4]
     _device: Optional[tuple] = field(default=None, repr=False)
+    _bucket: Optional[tuple] = field(default=None, repr=False)
 
     @classmethod
     def empty(cls, k: int) -> "KmerTable":
@@ -295,6 +296,22 @@ class KmerTable:
                             jnp.asarray(self.fw), jnp.asarray(self.bw))
         return self._device
 
+    def bucket_index(self):
+        """(starts, bits, rounds) for the bucketed probe; built once."""
+        if self._bucket is None:
+            import math
+
+            from ..ops.kmers import build_bucket_index
+
+            tkeys = self.device_arrays()[0]
+            n = max(len(self), 2)
+            bits = min(max(8, math.ceil(math.log2(n))), 22, 2 * self.k)
+            starts = build_bucket_index(tkeys, self.k, bits)
+            counts = np.diff(np.asarray(starts))
+            rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
+            self._bucket = (starts, bits, rounds)
+        return self._bucket
+
     def probe(self, qkeys) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                     np.ndarray]:
         """Vectorized lookup: (found, cov, fw[.,4], bw[.,4])."""
@@ -308,8 +325,10 @@ class KmerTable:
                     np.zeros((len(q), 4), np.uint32),
                     np.zeros((len(q), 4), np.uint32))
         tkeys, cov, fw, bw = self.device_arrays()
-        found, qcov, qfw, qbw = K.probe_sorted(tkeys, cov, fw, bw,
-                                               jnp.asarray(qkeys))
+        starts, bits, rounds = self.bucket_index()
+        found, qcov, qfw, qbw = K.probe_bucketed(
+            tkeys, cov, fw, bw, starts, jnp.asarray(qkeys), self.k, bits,
+            rounds)
         return (np.asarray(found), np.asarray(qcov), np.asarray(qfw),
                 np.asarray(qbw))
 

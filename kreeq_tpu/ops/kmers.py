@@ -50,13 +50,34 @@ def kmer_positions(codes: jax.Array, k: int):
     """
     n = codes.shape[0]
     p = n - k + 1
-    c64 = codes.astype(jnp.uint64)
-    fw = jnp.zeros((p,), dtype=jnp.uint64)
-    rc = jnp.zeros((p,), dtype=jnp.uint64)
-    for i in range(k):
-        a = jax.lax.dynamic_slice(c64, (i,), (p,))
-        fw = fw | ((a & 3) << jnp.uint64(2 * i))
-        rc = rc | ((3 - (a & 3)) << jnp.uint64(2 * (k - 1 - i)))
+    # block packing: 16 bases per u32 word once (O(N)), then each
+    # position assembles its window from three words — O(N) total work
+    # instead of the naive O(kN) shifted-OR loop
+    npad = (-n) % 16 + 32
+    cpad = jnp.concatenate([codes, jnp.full((npad,), BAD, jnp.uint8)])
+    blocks = cpad.reshape(-1, 16).astype(jnp.uint32) & 3
+    w = jnp.zeros((blocks.shape[0],), jnp.uint32)
+    for i in range(16):
+        w = w | (blocks[:, i] << jnp.uint32(2 * i))
+    w64 = w.astype(jnp.uint64)
+    w0 = jnp.repeat(w64, 16)[:p]
+    w1 = jnp.repeat(w64[1:], 16)[:p]
+    w2 = jnp.repeat(w64[2:], 16)[:p]
+    w01 = w0 | (w1 << jnp.uint64(32))
+    r2 = (jnp.arange(p, dtype=jnp.uint64) & jnp.uint64(15)) * jnp.uint64(2)
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    hi_part = jnp.where(r2 == 0, jnp.uint64(0),
+                        w2 << (jnp.uint64(64) - r2))
+    fw = ((w01 >> r2) | hi_part) & mask
+
+    # revcomp = complement (xor) + 2-bit-pair reversal of the 2k bits
+    x = ((~fw) & mask) << jnp.uint64(64 - 2 * k)
+    for sh, m in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
+                  (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
+        x = (((x & jnp.uint64(m)) << jnp.uint64(sh))
+             | ((x >> jnp.uint64(sh)) & jnp.uint64(m)))
+    rc = ((x << jnp.uint64(32)) | (x >> jnp.uint64(32))) & mask
+
     isfw = fw <= rc
     keys = jnp.where(isfw, fw, rc)
 
@@ -264,6 +285,47 @@ def probe_sorted(tkeys, cov, fw, bw, qkeys):
     qbw = jnp.where(found[:, None], bw[idx], z32)
     return found, qcov, qfw, qbw
 
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def build_bucket_index(tkeys, k: int, bits: int):
+    """Bucket starts over the top `bits` of the 2k-bit key space.
+
+    One searchsorted of 2^bits probes against the table, done once per
+    table: every subsequent probe then bisects only within its bucket.
+    """
+    edges = (jnp.arange(1 << bits, dtype=jnp.uint64)
+             << jnp.uint64(2 * k - bits))
+    starts = jnp.searchsorted(tkeys, edges).astype(jnp.int32)
+    return jnp.concatenate(
+        [starts, jnp.full((1,), tkeys.shape[0], jnp.int32)])
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def probe_bucketed(tkeys, cov, fw, bw, starts, qkeys, k: int, bits: int,
+                   rounds: int):
+    """Bucketed bisection probe: ~log2(max bucket) HBM gather rounds
+    instead of log2(table) (searchsorted) or a full table re-sort
+    (probe_merge).  `rounds` must be >= ceil(log2(largest bucket + 1));
+    the table side computes it exactly.  Output matches probe_sorted.
+    """
+    shift = jnp.uint64(2 * k - bits)
+    b = (qkeys >> shift).astype(jnp.int32)
+    b = jnp.clip(b, 0, (1 << bits) - 1)
+    lo = starts[b]
+    hi = starts[b + 1]
+    for _ in range(rounds):
+        mid = (lo + hi) >> 1
+        take = tkeys[jnp.minimum(mid, tkeys.shape[0] - 1)] < qkeys
+        lo = jnp.where(take & (lo < hi), mid + 1, lo)
+        hi = jnp.where(take | (lo >= hi), hi, mid)
+    idx = jnp.minimum(lo, tkeys.shape[0] - 1)
+    found = tkeys[idx] == qkeys
+    z32 = jnp.uint32(0)
+    qcov = jnp.where(found, cov[idx], z32)
+    qfw = jnp.where(found[:, None], fw[idx], z32)
+    qbw = jnp.where(found[:, None], bw[idx], z32)
+    return found, qcov, qfw, qbw
 
 # ---------------------------------------------------------------------------
 # host-side packing

@@ -20,11 +20,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .kmers import kmer_positions, probe_merge
+from .kmers import kmer_positions, probe_bucketed
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def validate_positions(tkeys, tcov, tfw, tbw, codes, k: int, cutoff: int):
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
+                       cutoff: int, bits: int, rounds: int):
     """codes: uint8[N] one segment (BAD-padded to a bucket size).
 
     Returns per-position arrays of length P = N - k + 1:
@@ -34,7 +35,8 @@ def validate_positions(tkeys, tcov, tfw, tbw, codes, k: int, cutoff: int):
     n = codes.shape[0]
     p = n - k + 1
     keys, isfw, _edges, valid = kmer_positions(codes, k)
-    found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw, keys)
+    found, cov, fw, bw = probe_bucketed(tkeys, tcov, tfw, tbw, starts,
+                                        keys, k, bits, rounds)
     found = found & valid
 
     nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
