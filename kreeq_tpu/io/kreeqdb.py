@@ -131,20 +131,30 @@ def read_kreeq(db_path: str) -> KmerTable:
                      vals[:, 4:8].copy())
 
 
-def _write_phmap(path: str, items, slot_size: int, pack_value) -> None:
-    """Write a phmap-layout dump (single-submap placement).
+def _write_phmap(path: str, keys: np.ndarray, recs: np.ndarray,
+                 slot_size: int) -> None:
+    """Write a phmap-layout dump (vectorized construction).
 
     Readable by this framework; structural (not placement-) compatible
-    with phmap.  items: iterable of (key, record tuple).
+    with phmap.  keys: u64[n]; recs: u8[n,9] or u32[n,9].
     """
-    items = list(items)
+    sub_of = ((keys >> np.uint64(7)) & np.uint64(0xFF)).astype(np.int32)
+    order = np.argsort(sub_of, kind="stable")
+    keys = keys[order]
+    recs = recs[order]
+    sub_of = sub_of[order]
+    bounds = np.searchsorted(sub_of, np.arange(SUBMAP_COUNT + 1))
+
+    rec_dtype = "u1" if slot_size == SLOT_U8 else "<u4"
+    pad = slot_size - 8 - recs.shape[1] * recs.dtype.itemsize
+    slot_t = np.dtype([("key", "<u8"), ("rec", rec_dtype, 9),
+                       ("pad", "u1", pad)])
+
     with open(path, "wb") as fh:
         fh.write(struct.pack("<Q", SUBMAP_COUNT))
-        per_sub = [[] for _ in range(SUBMAP_COUNT)]
-        for key, rec in items:
-            per_sub[(key >> 7) & 0xFF].append((key, rec))
-        for sub in per_sub:
-            size = len(sub)
+        for s in range(SUBMAP_COUNT):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            size = hi - lo
             if size == 0:
                 fh.write(struct.pack("<QQQ", PHMAP_VERSION, 0, 0))
                 continue
@@ -152,15 +162,14 @@ def _write_phmap(path: str, items, slot_size: int, pack_value) -> None:
             while cap < size or cap * 7 // 8 < size:
                 cap = cap * 2 + 1
             fh.write(struct.pack("<QQQ", PHMAP_VERSION, size, cap))
-            ctrl = bytearray([0x80] * (cap + 17))
-            slots = bytearray(cap * slot_size)
-            for i, (key, rec) in enumerate(sub):
-                ctrl[i] = key & 0x7F  # H2-like tag; any value < 0x80 works
-                struct.pack_into("<Q", slots, i * slot_size, key)
-                pack_value(slots, i * slot_size + 8, rec)
+            ctrl = np.full(cap + 17, 0x80, np.uint8)
+            ctrl[:size] = (keys[lo:hi] & np.uint64(0x7F)).astype(np.uint8)
             ctrl[cap] = 0xFF  # sentinel
-            fh.write(bytes(ctrl))
-            fh.write(bytes(slots))
+            slots = np.zeros(cap, slot_t)
+            slots["key"][:size] = keys[lo:hi]
+            slots["rec"][:size] = recs[lo:hi]
+            fh.write(ctrl.tobytes())
+            fh.write(slots.tobytes())
             fh.write(struct.pack("<Q", max(cap * 7 // 8 - size, 0)))
 
 
@@ -178,28 +187,21 @@ def write_kreeq(db_path: str, table: KmerTable,
     overflow = (cov >= 255) | (fw >= 255).any(axis=1) | (bw >= 255).any(
         axis=1)
 
-    def pack_u8(buf, off, rec):
-        struct.pack_into("<9B", buf, off, *rec)
-
-    def pack_u32(buf, off, rec):
-        struct.pack_into("<9I", buf, off, *rec)
+    # u8 records: exact where all counters fit; tombstones (cov=255,
+    # counters clipped) where the full record lives in the hc map
+    recs8 = np.concatenate(
+        [np.minimum(fw, 254), np.minimum(bw, 254), cov[:, None]],
+        axis=1).astype(np.uint8)
+    recs8[overflow, 8] = 255
 
     part = keys % np.uint64(map_count)
     for m in range(map_count):
-        sel = np.nonzero(part == m)[0]
-        items = []
-        for i in sel:
-            key = int(keys[i])
-            if overflow[i]:
-                rec = tuple(np.minimum(fw[i], 254)) + tuple(
-                    np.minimum(bw[i], 254)) + (255,)
-            else:
-                rec = tuple(fw[i]) + tuple(bw[i]) + (int(cov[i]),)
-            items.append((key, rec))
-        _write_phmap(os.path.join(db_path, f".map.{m}.bin"), items, SLOT_U8,
-                     pack_u8)
+        sel = part == m
+        _write_phmap(os.path.join(db_path, f".map.{m}.bin"), keys[sel],
+                     recs8[sel], SLOT_U8)
 
-    hc_items = [(int(keys[i]), tuple(fw[i]) + tuple(bw[i]) + (int(cov[i]),))
-                for i in np.nonzero(overflow)[0]]
-    _write_phmap(os.path.join(db_path, ".map.hc.bin"), hc_items, SLOT_U32,
-                 pack_u32)
+    hc = np.nonzero(overflow)[0]
+    recs32 = np.concatenate([fw[hc], bw[hc], cov[hc, None]],
+                            axis=1).astype(np.uint32)
+    _write_phmap(os.path.join(db_path, ".map.hc.bin"), keys[hc], recs32,
+                 SLOT_U32)
