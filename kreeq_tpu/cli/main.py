@@ -66,6 +66,11 @@ def parse_args(argv: List[str]) -> UserInput:
             j += 1
         return j
 
+    def value_of(idx: int, opt: str) -> str:
+        if idx >= n:
+            _err(f"option {opt} is missing a required argument\n")
+        return argv[idx]
+
     while i < n:
         a = argv[i]
         if a in _FLAGS:
@@ -76,7 +81,7 @@ def parse_args(argv: List[str]) -> UserInput:
             i += 1
             continue
         if a in _LONG_VALUED:
-            val = argv[i + 1]
+            val = value_of(i + 1, a)
             dest = _LONG_VALUED[a]
             if dest in ("trav_algorithm", "anomalies_out", "trace_dir"):
                 setattr(ui, dest, val)
@@ -100,7 +105,7 @@ def parse_args(argv: List[str]) -> UserInput:
         if short == "d":
             i = multi(i + 1, ui.kmer_db)
             continue
-        val = argv[i + 1]
+        val = value_of(i + 1, a)
         if short == "c":
             ui.cov_cutoff = int(val)
         elif short == "f":

@@ -102,6 +102,9 @@ class DBG:
 
         k = self.k
         self.tracks = []
+        self.tot_missing = 0
+        self.tot_kcount = 0
+        self.tot_edge_missing = 0
         if len(self.table):
             tkeys, tcov, tfw, tbw = self.table.device_arrays()
             starts, bits, rounds = self.table.bucket_index()

@@ -85,6 +85,7 @@ def extract_subgraph(dbg) -> Dict[int, SubNode]:
         keys = np.asarray(keys[:kcount])
         isfw = np.asarray(isfw[:kcount])
         edges = np.asarray(edges[:kcount])
+        valid = np.asarray(valid[:kcount])
         found, cov, fw, bw = table.probe(keys)
 
         spans = [(0, kcount)]
@@ -94,6 +95,8 @@ def extract_subgraph(dbg) -> Dict[int, SubNode]:
         seg_map: Dict[int, SubNode] = {}
         for lo, hi in spans:
             for p in range(lo, min(hi, kcount)):
+                if not valid[p]:
+                    continue  # window contains a non-ACGT base
                 key = int(keys[p])
                 if key in seg_map:
                     continue  # phmap insert: first occurrence wins
@@ -128,7 +131,10 @@ def _load_bed_spans(dbg):
                 spans.setdefault(parts[0], []).append(
                     (int(parts[1]), int(parts[2])))
     # reference projects path coordinates onto segments
-    # (src/kreeq.cpp:284-333); our segment headers are `<path>.<n>`
+    # (src/kreeq.cpp:284-333); our segment headers are `<path>.<n>`.
+    # NOTE: the reference never advances absPos across SEGMENT
+    # components (only gaps) — an apparent bug we do not reproduce;
+    # spans here use true absolute path coordinates (KNOWN_GAPS.md)
     out: Dict[str, List[Tuple[int, int]]] = {}
     for path in dbg.genome.paths:
         if path.header not in spans:

@@ -66,25 +66,27 @@ def detect_anomalies(dbg, seg) -> List[Tuple[int, int]]:
     codes = seg.codes
     table = dbg.table
 
-    anomalies = []
-    for c in range(kcount):
-        fw = 0
-        for j in range(k):
-            fw |= int(codes[c + j]) << (2 * j)
-        key, isfw = canonical(fw, k)
-        rec = table.lookup(key)
-        anomaly = False
-        if rec is not None:
-            rfw, rbw, _cov = rec
-            if c < kcount - 1:
-                nxt = int(codes[c + k])
-                if (isfw and rfw[nxt] == 0) or \
-                        (not isfw and rbw[3 - nxt] == 0):
-                    anomaly = True
-        else:
-            anomaly = True
-        if anomaly:
-            anomalies.append(c)
+    import numpy as np
+
+    from ..ops.kmers import kmer_positions
+
+    import jax.numpy as jnp
+
+    keys, isfw, _edges, valid = kmer_positions(jnp.asarray(codes), k)
+    keys = np.asarray(keys)
+    isfw = np.asarray(isfw)
+    found, _cov, rfw, rbw = table.probe(keys)
+
+    nxt = codes[k:].astype(np.int64)  # next base per position c<kcount-1
+    bad_next = nxt > 3  # IUPAC codes: skip the continuity test
+    nxt = nxt & 3
+    pos = np.arange(kcount - 1)
+    fw_edge = rfw[pos, nxt]
+    bw_edge = rbw[pos, 3 - nxt]
+    cont_missing = (np.where(isfw[:-1], fw_edge, bw_edge) == 0) & ~bad_next
+    anomaly = ~found[:kcount]
+    anomaly[:-1] |= found[:kcount - 1] & cont_missing
+    anomalies = np.nonzero(anomaly)[0].tolist()
 
     ranges: List[Tuple[int, int]] = []
     for c in anomalies:
@@ -194,11 +196,19 @@ def dbg_to_variants(dbg, seg) -> None:
     visited = [False] * ln
     variants: List[List[DBGpath]] = []
 
+    # all segment keys/orientations computed once on device
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..ops.kmers import kmer_positions
+
+    all_keys, all_isfw, _e, _v = kmer_positions(jnp.asarray(codes), k)
+    all_keys = np.asarray(all_keys)
+    all_isfw = np.asarray(all_isfw)
+
     def pos_key(p: int) -> Tuple[int, bool]:
-        fw = 0
-        for j in range(k):
-            fw |= int(codes[p + j]) << (2 * j)
-        return canonical(fw, k)
+        return int(all_keys[p]), bool(all_isfw[p])
 
     explored_total = 0
     while explored_total < kcount:

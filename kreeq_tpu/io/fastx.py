@@ -121,22 +121,32 @@ def load_gfa(stream, genome: Genome) -> Genome:
 
     s_lines = []
     p_lines = []
-    l_lines = []
+    link_lines = []  # (name1, or1, name2, or2, cigar)
     for line in stream:
         line = line.rstrip("\r\n")
         if not line:
             continue
         f = line.split("\t")
         if f[0] == "S":
-            if len(f) >= 4 and f[2].isdigit() and not set(f[3]) <= set("*"):
-                # GFA2: S <sid> <slen> <sequence>
-                s_lines.append((f[1], f[3], f[4:]))
+            if len(f) >= 4 and f[2].isdigit():
+                # GFA2: S <sid> <slen> <sequence|*>
+                seq = "" if f[3] == "*" else f[3]
+                s_lines.append((f[1], seq, f[4:]))
             else:
-                s_lines.append((f[1], f[2], f[3:]))
+                seq = "" if f[2] == "*" else f[2]
+                s_lines.append((f[1], seq, f[3:]))
         elif f[0] == "P":
             p_lines.append(f[1:])
-        elif f[0] in ("L", "E"):
-            l_lines.append(f[1:])
+        elif f[0] == "L" and len(f) >= 5:
+            link_lines.append((f[1], f[2], f[3], f[4],
+                               f[5] if len(f) > 5 else "0M"))
+        elif f[0] == "E" and len(f) >= 4:
+            # GFA2: E <eid> <sid1><or> <sid2><or> [coords...] [aln]
+            n1, o1 = f[2][:-1], f[2][-1]
+            n2, o2 = f[3][:-1], f[3][-1]
+            if o1 in "+-" and o2 in "+-":
+                link_lines.append((n1, o1, n2, o2,
+                                   f[8] if len(f) > 8 else "0M"))
 
     seg_by_name = {}
     for pos, (name, seq, tags) in enumerate(s_lines):
@@ -160,12 +170,18 @@ def load_gfa(stream, genome: Genome) -> Genome:
             in_path.add(sname)
         genome.paths.append(path)
 
-    for lf in l_lines:
-        # L: from, fromOrient, to, toOrient, overlap
-        name1, or1, name2, or2 = lf[0], lf[1], lf[2], lf[3]
-        cigar = lf[4] if len(lf) > 4 else "0M"
+    for name1, or1, name2, or2, cigar in link_lines:
         if name1 in seg_by_name and name2 in seg_by_name:
             genome.add_edge(Edge(genome.next_uid(), len(genome.edges),
                                  seg_by_name[name1].uid,
                                  seg_by_name[name2].uid, or1, or2, cigar))
+
+    # segments not referenced by any P line become single-segment paths
+    # (gfastar convention), so path-driven outputs still cover them
+    for pos, (name, _seq, _tags) in enumerate(s_lines):
+        if name not in in_path:
+            seg = seg_by_name[name]
+            genome.paths.append(
+                Path(name, [PathComponent(SEGMENT, seg.uid, "+")],
+                     seq_pos=len(genome.paths)))
     return genome

@@ -181,7 +181,14 @@ def get_count_sorted():
     if os.environ.get("KREEQ_TPU_PALLAS") == "1":
         from .pallas_kernels import count_sorted_pallas
 
-        return count_sorted_pallas
+        def guarded(keys, edges, valid):
+            # the kernel's f32 prefix sums are exact only below 2^24
+            # records per chunk
+            if keys.shape[0] >= (1 << 24):
+                return count_sorted(keys, edges, valid)
+            return count_sorted_pallas(keys, edges, valid)
+
+        return guarded
     return count_sorted
 
 @jax.jit

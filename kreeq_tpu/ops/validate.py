@@ -55,7 +55,11 @@ def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
     left = jnp.where(found & has_prev, left, 0)
 
     cov = jnp.where(found, cov, 0)
-    missing = valid & ((cov == 0) | (cov < jnp.uint32(cutoff)))
+    # no `valid` guard: windows containing non-ACGT bases (IUPAC codes;
+    # N runs are split into segments upstream) have found=False, so
+    # cov==0 marks them missing — matching the reference, whose garbage
+    # hash for such windows can only miss the DB
+    missing = (cov == 0) | (cov < jnp.uint32(cutoff))
     no_right = has_next & (right == 0)
     no_left = has_prev & (left == 0)
     edge_missing = valid & ~missing & no_left & no_right

@@ -98,7 +98,7 @@ def sharded_count_fn(mesh: Mesh, k: int):
     return jax.jit(fn)
 
 
-def sharded_probe_fn(mesh: Mesh, k: int):
+def sharded_probe_fn(mesh: Mesh, k: int, cutoff: int = 0):
     """Build the jitted SPMD probe step.
 
     Inputs: per-shard tables (as produced by sharded_count_fn) and a
@@ -157,7 +157,7 @@ def sharded_probe_fn(mesh: Mesh, k: int):
         right = jnp.where(isfw, gather(qfw, nc), gather(qbw, 3 - nc))
         left = jnp.where(isfw, gather(qbw, pc), gather(qfw, 3 - pc))
         qcov = jnp.where(qfound, qcov, 0)
-        missing = valid & (qcov == 0)
+        missing = valid & ((qcov == 0) | (qcov < jnp.uint32(cutoff)))
         no_right = has_next & (jnp.where(qfound & has_next, right, 0) == 0)
         no_left = has_prev & (jnp.where(qfound & has_prev, left, 0) == 0)
         edge_missing = valid & ~missing & no_left & no_right
