@@ -12,10 +12,11 @@ Architecture (idiomatic XLA, not a translation):
     shifted ORs (key = OR_i code[p+i] << 2i; canonical = min(fw, rc),
     isFw = fw <= rc — encoding validated against testFiles/test1.kreeq),
   * the "hash map" is a sorted array: counting = sort + run-detection +
-    cumsum-difference segment sums; probing = vectorized binary search
-    (searchsorted) + gathers.
+    one fused cumulative-row scatter (per-run totals by adjacent
+    difference); probing = bucketed bisection (a per-table bucket index
+    caps lookups at log2(largest bucket) gather rounds).
 
-All shapes are static; run compaction uses masked scatters.
+All shapes are static.
 """
 
 from __future__ import annotations
@@ -50,9 +51,9 @@ def kmer_positions(codes: jax.Array, k: int):
     """
     n = codes.shape[0]
     p = n - k + 1
-    # block packing: 16 bases per u32 word once (O(N)), then each
-    # position assembles its window from three words — O(N) total work
-    # instead of the naive O(kN) shifted-OR loop
+    # block packing: 16 bases per u32 word once, then each position
+    # assembles its window from three words — O(N) total work instead
+    # of the naive O(kN) shifted-OR loop
     npad = (-n) % 16 + 32
     cpad = jnp.concatenate([codes, jnp.full((npad,), BAD, jnp.uint8)])
     blocks = cpad.reshape(-1, 16).astype(jnp.uint32) & 3

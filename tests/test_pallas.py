@@ -1,6 +1,5 @@
 """Pallas streaming count kernel: exact match in interpret mode."""
 
-import os
 
 import numpy as np
 import pytest
