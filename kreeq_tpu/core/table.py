@@ -150,13 +150,22 @@ class KmerTable:
         from ..utils import log
 
         count_fn = K.get_count_sorted()
-        for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
-            keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
-            ukeys, cov, fw, bw, n = count_fn(keys, edges, valid)
+        pending = None  # one-chunk lookahead hides the n-readback sync
+
+        def drain(i, parts):
+            ukeys, cov, fw, bw, n = parts
             n = int(n)
             push((ukeys[:n], cov[:n], fw[:n], bw[:n]))
-            log.verbose(f"counted chunk {i} ({len(buf)} bases, "
-                        f"{n} distinct)")
+            log.verbose(f"counted chunk {i} ({n} distinct)")
+
+        for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
+            keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
+            parts = count_fn(keys, edges, valid)
+            if pending is not None:
+                drain(i - 1, pending)
+            pending = parts
+        if pending is not None:
+            drain(i, pending)
 
         acc = None
         for part in levels:
