@@ -95,6 +95,22 @@ def test_long_read_bucketing():
     assert device_count(seqs, K) == ref_count(seqs, K)
 
 
+def test_multichunk_lookahead_matches_single_chunk(tmp_path):
+    """Pipelined (lookahead) chunked build == one-chunk build."""
+    from kreeq_tpu.core.table import KmerTable
+
+    rng = np.random.default_rng(7)
+    seqs = random_seqs(rng, 200, lo=60, hi=200)
+    path = tmp_path / "reads.fasta"
+    path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    multi = KmerTable.from_reads([str(path)], k=K, chunk=1 << 12)
+    one = KmerTable.from_reads([str(path)], k=K, chunk=1 << 17)
+    assert np.array_equal(multi.keys, one.keys)
+    assert np.array_equal(multi.cov, one.cov)
+    assert np.array_equal(multi.fw, one.fw)
+    assert np.array_equal(multi.bw, one.bw)
+
+
 def test_merge_tables():
     import jax.numpy as jnp
 
