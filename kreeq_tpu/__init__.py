@@ -23,6 +23,14 @@ import jax as _jax
 # Must be set before any JAX computation runs.
 _jax.config.update("jax_enable_x64", True)
 
+# Optional platform override (e.g. KREEQ_TPU_PLATFORM=cpu for small
+# inputs where accelerator dispatch latency dominates).  Set via
+# jax.config, not JAX_PLATFORMS: environments whose startup hooks
+# import jax before this package read the env var too early.
+_platform = _os.environ.get("KREEQ_TPU_PLATFORM")
+if _platform:
+    _jax.config.update("jax_platforms", _platform)
+
 # Persistent compilation cache: kernel shapes are stable across runs
 # (fixed chunk sizes, power-of-two merge buckets), so repeat runs skip
 # XLA compilation entirely.

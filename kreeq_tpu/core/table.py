@@ -83,8 +83,12 @@ class KmerTable:
 
     @classmethod
     def from_reads(cls, read_files: Iterable[str], k: int,
-                   chunk: int = 1 << 23, mesh=None) -> "KmerTable":
+                   chunk: int | None = None, mesh=None) -> "KmerTable":
         """Count canonical k-mers of all reads on device.
+
+        `chunk` defaults to the KREEQ_TPU_CHUNK env var (bases per
+        device dispatch), falling back to 8M — the empirical optimum on
+        v5e where fixed per-dispatch tunnel latency dominates below 8M.
 
         Device pipeline per chunk: kmer_positions -> count_sorted; the
         per-chunk unique tables are reduced by pairwise device merges
@@ -101,6 +105,10 @@ class KmerTable:
         from ..io.fastx import iter_reads
         from ..ops import kmers as K
 
+        if chunk is None:
+            import os
+
+            chunk = int(os.environ.get("KREEQ_TPU_CHUNK", 1 << 23))
         read_files = list(read_files)
         if mesh is None and len(jax.devices()) > 1:
             # auto-shard only when the workload amortizes the SPMD
