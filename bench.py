@@ -60,7 +60,7 @@ def main() -> None:
     pchunk = 1 << 22
     asm = jnp.asarray(rng.integers(0, 4, pchunk).astype(np.uint8))
 
-    bits = 22
+    bits = min(int(np.ceil(np.log2(int(n)))) + 1, 24, 2 * k)
     starts = build_bucket_index(tkeys, k, bits)
     counts = np.diff(np.asarray(starts))
     rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))

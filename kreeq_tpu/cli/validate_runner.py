@@ -84,6 +84,16 @@ def main(argv: List[str] = None) -> None:
             ok = False
             continue
         cmd = lines[0].strip()
+        # test commands use fixture paths relative to the corpus root
+        # (the ancestor of the .tst holding testFiles/), as the
+        # reference harness does when run from its repo root
+        root = os.path.dirname(os.path.abspath(tst))
+        while root != os.path.dirname(root) and not os.path.isdir(
+                os.path.join(root, "testFiles")):
+            root = os.path.dirname(root)
+        prev_cwd = os.getcwd()
+        if os.path.isdir(os.path.join(root, "testFiles")):
+            os.chdir(root)
         try:
             actual = run_command(cmd)
         except SystemExit as e:
@@ -96,6 +106,8 @@ def main(argv: List[str] = None) -> None:
             print(f"{RED}FAIL{RESET} {tst} runtime error: {e}")
             ok = False
             continue
+        finally:
+            os.chdir(prev_cwd)
         if len(lines) > 1 and lines[1].strip() != "embedded" \
                 and os.path.exists(lines[1].strip()):
             with open(lines[1].strip()) as fh:

@@ -322,7 +322,11 @@ class KmerTable:
 
             tkeys = self.device_arrays()[0]
             n = max(len(self), 2)
-            bits = min(max(8, math.ceil(math.log2(n))), 22, 2 * self.k)
+            # one bit past table size: mean bucket occupancy ~0.5, so
+            # bisection needs only ~log2(max Poisson bucket) ~ 3 rounds
+            # (each round is a full-batch HBM gather — the probe's
+            # dominant cost)
+            bits = min(max(8, math.ceil(math.log2(n)) + 1), 24, 2 * self.k)
             starts = build_bucket_index(tkeys, self.k, bits)
             counts = np.diff(np.asarray(starts))
             rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))

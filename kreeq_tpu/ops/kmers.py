@@ -12,9 +12,10 @@ Architecture (idiomatic XLA, not a translation):
     shifted ORs (key = OR_i code[p+i] << 2i; canonical = min(fw, rc),
     isFw = fw <= rc — encoding validated against testFiles/test1.kreeq),
   * the "hash map" is a sorted array: counting = sort + run-detection +
-    one fused cumulative-row scatter (per-run totals by adjacent
-    difference); probing = bucketed bisection (a per-table bucket index
-    caps lookups at log2(largest bucket) gather rounds).
+    MXU blocked prefix sums compacted by one flag-sort + row gather
+    (per-run totals by adjacent difference); probing = bucketed
+    bisection (a per-table bucket index caps lookups at
+    log2(largest bucket) gather rounds).
 
 All shapes are static.
 """
@@ -104,12 +105,47 @@ def kmer_positions(codes: jax.Array, k: int):
     return keys, isfw, edges, valid
 
 
-def _runs(keys):
-    """Run-boundary helpers for a sorted key array."""
-    starts = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
-    ends = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones((1,), bool)])
-    run_id = jnp.cumsum(starts.astype(jnp.int32)) - 1
-    return starts, ends, run_id
+_PFX_BLOCK = 512
+
+
+def _prefix_sum01(m):
+    """Exact inclusive prefix sum along axis 0 of 0/1 integer columns.
+
+    XLA's native integer cumsum lowers to a slow scan on TPU (u32 worse
+    than i32: 492 ms vs 171 ms at [8M,9] on v5e).  This blocks the scan
+    onto the MXU instead: within-block inclusive sums are one
+    lower-triangular f32 matmul (exact — block sums <= 512 < 2^24),
+    block offsets are a tiny i32 cumsum.  35 ms at [8M,9]: ~14x over
+    the native u32 cumsum.  Returns int32.
+    """
+    B = _PFX_BLOCK
+    n0, c = m.shape
+    pad = (-n0) % B
+    mp = jnp.pad(m, ((0, pad), (0, 0))) if pad else m
+    nb = mp.shape[0] // B
+    x = mp.reshape(nb, B, c).astype(jnp.float32)
+    tri = jnp.tril(jnp.ones((B, B), jnp.float32))
+    within = jnp.einsum("ij,bjc->bic", tri, x,
+                        preferred_element_type=jnp.float32)
+    bsums = mp.reshape(nb, B, c).astype(jnp.int32).sum(axis=1)
+    offs = jnp.cumsum(bsums, axis=0) - bsums  # exclusive block offsets
+    out = within.astype(jnp.int32) + offs[:, None, :]
+    return out.reshape(nb * B, c)[:n0]
+
+
+def _compact_order(flag):
+    """Permutation putting flagged positions first, in position order.
+
+    Row scatters serialize on TPU (a [8M,11] u32 row scatter costs
+    ~1.0 s on v5e); compacting with one single-operand u32 sort plus
+    row gathers costs ~0.47 s for the same job.  Position rides in the
+    low 31 bits of the sort key, so ties cannot reorder.
+    """
+    p = flag.shape[0]
+    iota = jnp.arange(p, dtype=jnp.uint32)
+    sk = jnp.where(flag, iota, iota | jnp.uint32(0x80000000))
+    ssk = jax.lax.sort(sk)
+    return (ssk & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
 
 @jax.jit
@@ -122,39 +158,42 @@ def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
     padding, cov u32[P], fw u32[P,4], bw u32[P,4]) plus n (u32 scalar).
 
     Scatter/gather rounds dominate on TPU, so all 9 run sums plus both
-    key halves travel through ONE row-gather (exclusive cumsums at run
-    starts) and ONE row-scatter (compaction at run ends): measured ~5x
-    faster than per-column scatters on v5e.
+    key halves ride ONE permutation: inclusive cumulative rows (MXU
+    blocked prefix sum, `_prefix_sum01`) are compacted to the front at
+    run ends by a single u32 sort + row gather (`_compact_order` — row
+    scatters serialize on TPU), and per-run totals are adjacent
+    differences of the compacted rows.
     """
     p = keys.shape[0]
     skeys = jnp.where(valid, keys, SENTINEL)
     sedges = jnp.where(valid, edges, 0).astype(jnp.uint32)
     skeys, sedges = jax.lax.sort((skeys, sedges), num_keys=1)
 
-    starts, ends, run_id = _runs(skeys)
+    boundary = skeys[1:] != skeys[:-1]
+    starts = jnp.concatenate([jnp.ones((1,), bool), boundary])
+    ends = jnp.concatenate([boundary, jnp.ones((1,), bool)])
     real = skeys != SENTINEL
     n = jnp.sum((starts & real).astype(jnp.uint32))
+    flag = ends & real
 
-    out_idx = jnp.where(ends & real, run_id, p)  # p = dropped
+    # columns: cov, fw0..3, bw0..3 — inclusive cumulative rows; run
+    # totals are adjacent differences after compaction.  Sentinel rows
+    # sort last, so their contributions never reach a real run's row.
+    cols = [jnp.ones((p, 1), jnp.int32)]
+    se = sedges.astype(jnp.int32)
+    cols += [((se >> w) & 1)[:, None] for w in range(8)]
+    c = _prefix_sum01(jnp.concatenate(cols, axis=1)).astype(jnp.uint32)
 
-    # columns: cov, fw0..3, bw0..3; scatter the (inclusive) cumulative
-    # rows at run ends, then per-run totals are adjacent differences of
-    # the compacted rows — no gather at all.  Sentinel rows sort last,
-    # so their contributions never reach a real run's cumulative row.
-    cols = [jnp.ones((p,), jnp.uint32)]
-    cols += [((sedges >> w) & 1) for w in range(8)]
-    m = jnp.stack(cols, axis=1)  # [P, 9]
-    c = jnp.cumsum(m, axis=0)  # inclusive
-
-    key_lo = (skeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    key_hi = (skeys >> jnp.uint64(32)).astype(jnp.uint32)
+    # key halves pre-masked so non-compacted tail rows read as SENTINEL
+    ffff = jnp.uint32(0xFFFFFFFF)
+    key_lo = jnp.where(flag, (skeys & jnp.uint64(0xFFFFFFFF))
+                       .astype(jnp.uint32), ffff)
+    key_hi = jnp.where(flag, (skeys >> jnp.uint64(32))
+                       .astype(jnp.uint32), ffff)
     payload = jnp.concatenate(
         [c, key_lo[:, None], key_hi[:, None]], axis=1)  # [P, 11]
 
-    init = jnp.concatenate(
-        [jnp.zeros((p + 1, 9), jnp.uint32),
-         jnp.full((p + 1, 2), 0xFFFFFFFF, jnp.uint32)], axis=1)
-    out = init.at[out_idx].set(payload, mode="drop")[:p]
+    out = payload[_compact_order(flag)]
 
     ukeys = (out[:, 9].astype(jnp.uint64)
              | (out[:, 10].astype(jnp.uint64) << jnp.uint64(32)))
@@ -208,7 +247,7 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     keys, cov, fw, bw = keys[order], cov[order], fw[order], bw[order]
     p = keys.shape[0]
 
-    starts, _ends, run_id = _runs(keys)
+    starts = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     real = keys != SENTINEL
     n = jnp.sum((starts & real).astype(jnp.uint32))
 
@@ -227,15 +266,15 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     fw2 = jnp.where(nxt_same[:, None], satadd(fw, nxt(fw)), fw)
     bw2 = jnp.where(nxt_same[:, None], satadd(bw, nxt(bw)), bw)
 
-    out_idx = jnp.where(starts & real, run_id, p)
-    okeys = jnp.full((p + 1,), SENTINEL, jnp.uint64).at[out_idx].set(
-        keys, mode="drop")[:p]
-
-    def scat(v):
-        out = jnp.zeros((p + 1,) + v.shape[1:], v.dtype)
-        return out.at[out_idx].set(v, mode="drop")[:p]
-
-    return okeys, scat(cov2), scat(fw2), scat(bw2), n
+    # compact run starts to the front (pre-masked so tail rows read as
+    # SENTINEL/zero) — sort + gather beats a row scatter on TPU
+    flag = starts & real
+    order = _compact_order(flag)
+    okeys = jnp.where(flag, keys, SENTINEL)[order]
+    z32 = jnp.uint32(0)
+    return (okeys, jnp.where(flag, cov2, z32)[order],
+            jnp.where(flag[:, None], fw2, z32)[order],
+            jnp.where(flag[:, None], bw2, z32)[order], n)
 
 
 @jax.jit
@@ -316,6 +355,11 @@ def probe_bucketed(tkeys, cov, fw, bw, starts, qkeys, k: int, bits: int,
     instead of log2(table) (searchsorted) or a full table re-sort
     (probe_merge).  `rounds` must be >= ceil(log2(largest bucket + 1));
     the table side computes it exactly.  Output matches probe_sorted.
+
+    The result row (key halves + cov + fw + bw) is fetched as ONE
+    [T,11] contiguous row gather — the final key check rides along, and
+    one 44-byte row gather beats four separate gathers (168 ms vs
+    247 ms + key check at 4M queries on v5e).
     """
     shift = jnp.uint64(2 * k - bits)
     b = (qkeys >> shift).astype(jnp.int32)
@@ -328,12 +372,17 @@ def probe_bucketed(tkeys, cov, fw, bw, starts, qkeys, k: int, bits: int,
         lo = jnp.where(take & (lo < hi), mid + 1, lo)
         hi = jnp.where(take | (lo >= hi), hi, mid)
     idx = jnp.minimum(lo, tkeys.shape[0] - 1)
-    found = tkeys[idx] == qkeys
-    z32 = jnp.uint32(0)
-    qcov = jnp.where(found, cov[idx], z32)
-    qfw = jnp.where(found[:, None], fw[idx], z32)
-    qbw = jnp.where(found[:, None], bw[idx], z32)
-    return found, qcov, qfw, qbw
+
+    rows = jnp.concatenate(
+        [(tkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)[:, None],
+         (tkeys >> jnp.uint64(32)).astype(jnp.uint32)[:, None],
+         cov[:, None], fw, bw], axis=1)  # [T, 11]
+    r = rows[idx]
+    q_lo = (qkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    q_hi = (qkeys >> jnp.uint64(32)).astype(jnp.uint32)
+    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi)
+    r = jnp.where(found[:, None], r, jnp.uint32(0))
+    return found, r[:, 2], r[:, 3:7], r[:, 7:11]
 
 # ---------------------------------------------------------------------------
 # host-side packing
