@@ -46,11 +46,18 @@ def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
     nc = (nxt & 3).astype(jnp.int32)
     pc = (prv & 3).astype(jnp.int32)
 
-    def gather(mat, idx):
-        return jnp.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
+    # column selection by one-hot select+reduce: take_along_axis lowers
+    # to a per-row HBM gather on TPU, while these are pure VPU ops
+    lanes = jnp.arange(4, dtype=jnp.int32)[None, :]
 
-    right = jnp.where(isfw, gather(fw, nc), gather(bw, 3 - nc))
-    left = jnp.where(isfw, gather(bw, pc), gather(fw, 3 - pc))
+    def pick(mat, idx):
+        return jnp.where(lanes == idx[:, None], mat, jnp.uint32(0)).sum(
+            axis=1, dtype=jnp.uint32)
+
+    right = pick(jnp.where(isfw[:, None], fw, bw),
+                 jnp.where(isfw, nc, 3 - nc))
+    left = pick(jnp.where(isfw[:, None], bw, fw),
+                jnp.where(isfw, pc, 3 - pc))
     right = jnp.where(found & has_next, right, 0)
     left = jnp.where(found & has_prev, left, 0)
 

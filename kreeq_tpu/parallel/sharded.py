@@ -151,11 +151,18 @@ def sharded_probe_fn(mesh: Mesh, k: int, cutoff: int = 0):
         nc = (nxt & 3).astype(jnp.int32)
         pc = (prv & 3).astype(jnp.int32)
 
-        def gather(mat, idx):
-            return jnp.take_along_axis(mat, idx[:, None], axis=1)[:, 0]
+        # one-hot select+reduce: take_along_axis lowers to a per-row
+        # HBM gather on TPU, these stay on the VPU
+        lanes = jnp.arange(4, dtype=jnp.int32)[None, :]
 
-        right = jnp.where(isfw, gather(qfw, nc), gather(qbw, 3 - nc))
-        left = jnp.where(isfw, gather(qbw, pc), gather(qfw, 3 - pc))
+        def pick(mat, idx):
+            return jnp.where(lanes == idx[:, None], mat,
+                             jnp.uint32(0)).sum(axis=1, dtype=jnp.uint32)
+
+        right = pick(jnp.where(isfw[:, None], qfw, qbw),
+                     jnp.where(isfw, nc, 3 - nc))
+        left = pick(jnp.where(isfw[:, None], qbw, qfw),
+                    jnp.where(isfw, pc, 3 - pc))
         qcov = jnp.where(qfound, qcov, 0)
         missing = valid & ((qcov == 0) | (qcov < jnp.uint32(cutoff)))
         no_right = has_next & (jnp.where(qfound & has_next, right, 0) == 0)
