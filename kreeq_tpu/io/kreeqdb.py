@@ -22,6 +22,15 @@ The u8/u32 split follows the reference's overflow semantics: records
 whose cov or any edge counter is >= 255 live in the u32 map with a
 cov=255 tombstone in the u8 map (reference:
 src/graph-builder.cpp:186-205).
+
+Writes are placement-compatible with phmap: records sit at their
+SwissTable probe positions (hash = phmap_mix of the identity
+std::hash; submap = ((h>>8)^(h>>16)^(h>>24)) & 0xFF; slot via
+find_first_non_full replay; ctrl = H2 bytes + sentinel + cloned
+group-wrap bytes), so DBs written here load and probe correctly in the
+reference binary via phmap_load's raw restore.  All constants were
+derived from and verified against the testFiles/*.kreeq dumps
+(tests/test_writers.py pins a find()-simulation on every written key).
 """
 
 from __future__ import annotations
@@ -131,19 +140,79 @@ def read_kreeq(db_path: str) -> KmerTable:
                      vals[:, 4:8].copy())
 
 
+_MIX_MULT = 0xde5fb9d2630458e9  # phmap_mix<8> multiplier
+
+
+def phmap_mix(keys: np.ndarray) -> np.ndarray:
+    """phmap's hash post-mix: hi+lo of the 128-bit product of
+    std::hash(key) (identity for u64 on libstdc++) with the phmap_mix
+    multiplier.  Validated against testFiles/*.kreeq ctrl bytes
+    (H2 = mix & 0x7F matched on every stored slot)."""
+    k = np.asarray(keys, np.uint64)
+    a = k >> np.uint64(32)
+    b = k & np.uint64(0xFFFFFFFF)
+    mc = np.uint64(_MIX_MULT >> 32)
+    md = np.uint64(_MIX_MULT & 0xFFFFFFFF)
+    bd = b * md
+    mid1 = a * md + (bd >> np.uint64(32))
+    mid2 = b * mc + (mid1 & np.uint64(0xFFFFFFFF))
+    hi = a * mc + (mid1 >> np.uint64(32)) + (mid2 >> np.uint64(32))
+    lo = (mid2 << np.uint64(32)) | (bd & np.uint64(0xFFFFFFFF))
+    return hi + lo  # u64 wraparound
+
+
+def phmap_subidx(h: np.ndarray) -> np.ndarray:
+    """Submap index for 256 submaps: ((h>>8)^(h>>16)^(h>>24)) & 0xFF.
+    Solved exactly (GF(2) fit, then verified) from the reference DBs'
+    key->submap assignments."""
+    h = np.asarray(h, np.uint64)
+    return ((h >> np.uint64(8)) ^ (h >> np.uint64(16))
+            ^ (h >> np.uint64(24))) & np.uint64(0xFF)
+
+
+def _place_python(hs: np.ndarray, cap: int) -> np.ndarray:
+    """find_first_non_full replay (fallback; native kn_phmap_place
+    preferred): group-of-16 triangular probing over a 2^n-1 table."""
+    ctrl = np.full(cap + 1, 0x80, np.uint8)
+    ctrl[cap] = 0xFF  # sentinel
+    pos = np.empty(len(hs), np.uint32)
+    for idx, h in enumerate(hs):
+        h = int(h)
+        offset = (h >> 7) & cap
+        index = 0
+        found = -1
+        while found < 0:
+            for j in range(16):
+                p = (offset + j) & cap
+                if ctrl[p] == 0x80:
+                    found = p
+                    break
+            index += 16
+            offset = (offset + index) & cap
+        ctrl[found] = h & 0x7F
+        pos[idx] = found
+    return pos
+
+
 def _write_phmap(path: str, keys: np.ndarray, recs: np.ndarray,
                  slot_size: int) -> None:
-    """Write a phmap-layout dump (vectorized construction).
+    """Write a phmap binary archive with true SwissTable placement.
 
-    Readable by this framework; structural (not placement-) compatible
-    with phmap.  keys: u64[n]; recs: u8[n,9] or u32[n,9].
+    phmap_load restores ctrl/slots raw, so find() in the loading
+    process probes from H1 = mix(key)>>7; records are therefore placed
+    by replaying find_first_non_full, making written DBs loadable by
+    the reference binary, not just by this framework.  keys: u64[n];
+    recs: u8[n,9] or u32[n,9].
     """
-    sub_of = ((keys >> np.uint64(7)) & np.uint64(0xFF)).astype(np.int32)
+    from ..native import phmap_place
+
+    h_all = phmap_mix(keys)
+    sub_of = phmap_subidx(h_all).astype(np.int32)
     order = np.argsort(sub_of, kind="stable")
     keys = keys[order]
     recs = recs[order]
-    sub_of = sub_of[order]
-    bounds = np.searchsorted(sub_of, np.arange(SUBMAP_COUNT + 1))
+    h_all = h_all[order]
+    bounds = np.searchsorted(sub_of[order], np.arange(SUBMAP_COUNT + 1))
 
     rec_dtype = "u1" if slot_size == SLOT_U8 else "<u4"
     pad = slot_size - 8 - recs.shape[1] * recs.dtype.itemsize
@@ -159,18 +228,28 @@ def _write_phmap(path: str, keys: np.ndarray, recs: np.ndarray,
                 fh.write(struct.pack("<QQQ", PHMAP_VERSION, 0, 0))
                 continue
             cap = 1
-            while cap < size or cap * 7 // 8 < size:
+            while cap - cap // 8 < size:  # CapacityToGrowth(cap) >= size
                 cap = cap * 2 + 1
             fh.write(struct.pack("<QQQ", PHMAP_VERSION, size, cap))
+            hs = h_all[lo:hi]
+            pos = phmap_place(hs, cap)
+            if pos is None:
+                pos = _place_python(hs, cap)
+            pos64 = pos.astype(np.int64)
             ctrl = np.full(cap + 17, 0x80, np.uint8)
-            ctrl[:size] = (keys[lo:hi] & np.uint64(0x7F)).astype(np.uint8)
             ctrl[cap] = 0xFF  # sentinel
+            ctrl[cap + 16] = 0  # last byte never group-read; phmap leaves 0
+            h2 = (hs & np.uint64(0x7F)).astype(np.uint8)
+            ctrl[pos64] = h2
+            # SetCtrl clone mirror: ((i-15)&cap) + (15&cap)
+            clone = ((pos64 - 15) & cap) + (15 & cap)
+            ctrl[clone] = h2
             slots = np.zeros(cap, slot_t)
-            slots["key"][:size] = keys[lo:hi]
-            slots["rec"][:size] = recs[lo:hi]
+            slots["key"][pos64] = keys[lo:hi]
+            slots["rec"][pos64] = recs[lo:hi]
             fh.write(ctrl.tobytes())
             fh.write(slots.tobytes())
-            fh.write(struct.pack("<Q", max(cap * 7 // 8 - size, 0)))
+            fh.write(struct.pack("<Q", cap - cap // 8 - size))
 
 
 def write_kreeq(db_path: str, table: KmerTable,

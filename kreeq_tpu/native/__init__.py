@@ -9,6 +9,7 @@ no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import List, Optional, Tuple
@@ -18,9 +19,15 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "kreeq_native.cpp")
 _LIB = os.path.join(_HERE, "libkreeq_native.so")
+_HASH = _LIB + ".srchash"  # content hash of _SRC the .so was built from
 
 _lib = None
 _tried = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
 
 
 def _build() -> bool:
@@ -28,9 +35,24 @@ def _build() -> bool:
            "-o", _LIB, "-lz"]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0
+        if res.returncode != 0:
+            return False
+        with open(_HASH, "w") as fh:
+            fh.write(_src_hash())
+        return True
     except Exception:
         return False
+
+
+def _stale() -> bool:
+    """Rebuild keyed on source content hash (mtimes don't survive git)."""
+    if not os.path.exists(_LIB):
+        return True
+    try:
+        with open(_HASH) as fh:
+            return fh.read().strip() != _src_hash()
+    except OSError:
+        return True
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -38,8 +60,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
-                                    < os.path.getmtime(_SRC)):
+    if _stale():
         if not _build():
             return None
     try:
@@ -68,6 +89,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.kn_phmap_vals.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.kn_phmap_vals.argtypes = [ctypes.c_void_p]
     lib.kn_phmap_free.argtypes = [ctypes.c_void_p]
+    lib.kn_phmap_place.restype = ctypes.c_int
+    lib.kn_phmap_place.argtypes = [ctypes.POINTER(ctypes.c_uint64),
+                                   ctypes.c_uint64, ctypes.c_uint64,
+                                   ctypes.POINTER(ctypes.c_uint32)]
     _lib = lib
     return _lib
 
@@ -93,6 +118,21 @@ def parse_fastx(path: str) -> Optional[List[np.ndarray]]:
         return [codes[bounds[i]:bounds[i + 1]] for i in range(n_seqs)]
     finally:
         lib.kn_free(h)
+
+
+def phmap_place(hashes: np.ndarray, cap: int) -> Optional[np.ndarray]:
+    """SwissTable slot positions for one submap (mixed hashes, cap=2^n-1)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hs = np.ascontiguousarray(hashes, np.uint64)
+    pos = np.empty(len(hs), np.uint32)
+    rc = lib.kn_phmap_place(
+        hs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(hs), cap,
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc != 0:
+        raise ValueError("phmap placement over-filled a submap")
+    return pos
 
 
 def parse_phmap(data: bytes, wide: bool) -> Optional[Tuple[np.ndarray,

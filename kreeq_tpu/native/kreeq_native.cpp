@@ -160,6 +160,40 @@ void *kn_parse_phmap(const uint8_t *data, uint64_t size, int wide) {
     return out;
 }
 
+// SwissTable slot placement for phmap-compatible writes: replays
+// find_first_non_full (group-of-16 triangular probing) so a table
+// written with these positions is probe-consistent for the reference's
+// own find() after phmap_load (raw ctrl/slot restore).  hs are the
+// *mixed* hashes (phmap_mix of std::hash, computed by the caller); cap
+// is 2^n - 1; pos_out receives the slot index of each key.  Returns 0
+// on success, -1 if the table over-fills (caller sized cap wrong).
+int kn_phmap_place(const uint64_t *hs, uint64_t n, uint64_t cap,
+                   uint32_t *pos_out) {
+    std::vector<uint8_t> ctrl(cap + 17, 0x80);  // kEmpty
+    ctrl[cap] = 0xFF;                           // kSentinel
+    for (uint64_t i = 0; i < n; ++i) {
+        uint64_t h1 = hs[i] >> 7;
+        uint64_t offset = h1 & cap, index = 0;
+        int64_t found = -1;
+        for (uint64_t probes = 0; probes <= cap && found < 0;
+             probes += 16) {
+            for (uint64_t j = 0; j < 16; ++j) {
+                uint64_t p = (offset + j) & cap;
+                if (ctrl[p] == 0x80) {
+                    found = (int64_t)p;
+                    break;
+                }
+            }
+            index += 16;
+            offset = (offset + index) & cap;
+        }
+        if (found < 0) return -1;
+        ctrl[found] = (uint8_t)(hs[i] & 0x7F);
+        pos_out[i] = (uint32_t)found;
+    }
+    return 0;
+}
+
 uint64_t kn_phmap_count(void *h) { return ((PhmapParsed *)h)->keys.size(); }
 const uint64_t *kn_phmap_keys(void *h) {
     return ((PhmapParsed *)h)->keys.data();
