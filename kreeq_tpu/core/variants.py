@@ -75,7 +75,12 @@ def detect_anomalies(dbg, seg) -> List[Tuple[int, int]]:
     keys, isfw, _edges, valid = kmer_positions(jnp.asarray(codes), k)
     keys = np.asarray(keys)
     isfw = np.asarray(isfw)
+    valid = np.asarray(valid)
     found, _cov, rfw, rbw = table.probe(keys)
+    # non-ACGT bases are masked to code 0 inside keys; the reference's
+    # hash of a code>3 base misses the DB, so an invalid k-mer is never
+    # "found" (mirrors validate_positions' found & valid guard)
+    found = found & valid
 
     nxt = codes[k:].astype(np.int64)  # next base per position c<kcount-1
     bad_next = nxt > 3  # IUPAC codes: skip the continuity test
@@ -203,9 +208,17 @@ def dbg_to_variants(dbg, seg) -> None:
 
     from ..ops.kmers import kmer_positions
 
-    all_keys, all_isfw, _e, _v = kmer_positions(jnp.asarray(codes), k)
-    all_keys = np.asarray(all_keys)
+    all_keys, all_isfw, _e, valid = kmer_positions(jnp.asarray(codes), k)
+    all_keys = np.asarray(all_keys).copy()
     all_isfw = np.asarray(all_isfw)
+    valid = np.asarray(valid)
+    # k-mers containing non-ACGT bases: the reference hashes the raw
+    # code>3 bytes into a garbage key that misses the DB and matches no
+    # read-graph key; a distinct high-bit sentinel per position mirrors
+    # that (canonical keys are < 4^k), instead of aliasing the masked
+    # codes to an A-substituted k-mer that could spuriously probe found
+    invalid = np.nonzero(~valid[:kcount])[0]
+    all_keys[invalid] = np.uint64(1 << 63) | invalid.astype(np.uint64)
 
     def pos_key(p: int) -> Tuple[int, bool]:
         return int(all_keys[p]), bool(all_isfw[p])

@@ -87,6 +87,34 @@ def test_union_writes_database(tmp_path):
             st.edges) == (1572, 13, 115, 196)  # test.35 golden numbers
 
 
+def test_iupac_kmers_never_probe_found(tmp_path):
+    """A k-mer containing a non-ACGT IUPAC base (other than N, which is
+    split out of segments entirely) must never probe as found, even when
+    the reads contain its A-substituted twin: the reference hashes the
+    raw code>3 byte into a key that misses the DB, so aliasing the
+    masked codes to 'A' would wrongly suppress the anomaly (and seed
+    variant searches from phantom sources)."""
+    left = "ACGGTTCAGCATGCGTTAGCATCGGATCCA"   # 30 bases
+    right = "GTTCAACGGTCAGGCATTCCGAATGCCTT"   # 29 bases
+    (tmp_path / "reads.fastq").write_text(
+        "".join(f"@r{i}\n{left}A{right}\n+\n{'I' * 60}\n" for i in range(4)))
+    (tmp_path / "asm.fasta").write_text(f">seqN\n{left}R{right}\n")
+    _run("kreeq validate -f asm.fasta -r reads.fastq "
+         "--detect-anomalies anom.bed -o out.vcf", cwd=tmp_path)
+    # k=21, R at index 30: k-mer starts 10..30 contain it and must all
+    # be anomalous (merged 1-based range 11..31)
+    assert (tmp_path / "anom.bed").read_text() == "seqN\t11\t31\n"
+    # the variant caller still legitimately corrects the R via a search
+    # seeded at the last VALID k-mer (c=9), reconnecting through the
+    # read graph to the first valid target past the R — but no searches
+    # are seeded from phantom (A-aliased) invalid source k-mers
+    records = [l.split("\t") for l in
+               (tmp_path / "out.vcf").read_text().splitlines()
+               if l and not l.startswith("#")]
+    assert [(r[0], r[1], r[3], r[4]) for r in records] == [
+        ("seqN", "31", "R", "A")]
+
+
 def test_anomalies_snapshot(tmp_path):
     """detect_anomalies output locked as a regression snapshot
     (semantically faithful to reference src/variants.cpp:406-456; the
