@@ -59,8 +59,10 @@ def parse_args(argv: List[str]) -> UserInput:
 
     def multi(start: int, dest: list) -> int:
         j = start
-        while j < n and not argv[j].startswith("-"):
-            if not os.path.exists(argv[j]):
+        while j < n and (argv[j] == "-" or not argv[j].startswith("-")):
+            # "-" = stdin (reference StreamObj pipe support; the
+            # snapshot CLI's isPipe branch is dead — see io/fastx.py)
+            if argv[j] != "-" and not os.path.exists(argv[j]):
                 _err(f"--file {argv[j]} does not exist.\n")
             dest.append(argv[j])
             j += 1
@@ -109,7 +111,7 @@ def parse_args(argv: List[str]) -> UserInput:
         if short == "c":
             ui.cov_cutoff = int(val)
         elif short == "f":
-            if not os.path.exists(val):
+            if val != "-" and not os.path.exists(val):
                 _err(f"--file {val} does not exist.\n")
             ui.in_sequence = val
         elif short == "k":
@@ -162,6 +164,14 @@ def run(argv: List[str]) -> int:
     from ..utils import log
 
     log.set_flags(ui.verbose, getattr(ui, "profile", False))
+    if ui.max_mem or ui.threads:
+        # accepted for argv compatibility; the TPU pipeline plans
+        # static chunk/window sizes instead of a reactive memory
+        # governor or a thread pool (SURVEY P7: reference
+        # src/main.cpp:432-433)
+        log.verbose("Note: -m/--max-memory and -j/--threads are "
+                    "accepted for compatibility but not used; batch "
+                    "sizes are planned statically (KREEQ_TPU_CHUNK).")
     if ui.trace_dir:
         log.maybe_start_jax_profiler(ui.trace_dir)
 

@@ -15,7 +15,19 @@ from .sequence import Genome
 
 
 def open_text(path: str) -> io.TextIOBase:
-    """Open a possibly-gzipped text file."""
+    """Open a possibly-gzipped text file; path "-" reads stdin.
+
+    The reference's StreamObj supports plain/gzip/stdin pipes
+    (gfalibs stream-obj.h; the snapshot CLI's isPipe branch at
+    src/main.cpp:55 is never taken, so "-" here is a strict superset).
+    """
+    if path == "-":
+        import sys
+
+        data = sys.stdin.buffer.read()
+        if data[:2] == b"\x1f\x8b":
+            data = gzip.decompress(data)
+        return io.StringIO(data.decode("latin-1"))
     with open(path, "rb") as fh:
         magic = fh.read(2)
     if magic == b"\x1f\x8b":
@@ -70,7 +82,7 @@ def iter_reads(path: str) -> Iterator[str]:
     """
     from . import native_enabled
 
-    if native_enabled():
+    if native_enabled() and path != "-":
         from ..native import parse_fastx
 
         seqs = parse_fastx(path)

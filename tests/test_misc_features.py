@@ -115,6 +115,97 @@ def test_iupac_kmers_never_probe_found(tmp_path):
         ("seqN", "31", "R", "A")]
 
 
+def test_stdin_reads(monkeypatch):
+    """`cat reads.fastq | kreeq validate -r -` matches the file path run
+    (reference StreamObj pipe support; gfalibs stream-obj.h)."""
+    import io as _io
+    import sys
+
+    data = open(os.path.join(REFERENCE, "testFiles/random1.fastq"),
+                "rb").read()
+
+    class Stdin:
+        buffer = _io.BytesIO(data)
+
+    monkeypatch.setattr(sys, "stdin", Stdin())
+    out = _run("kreeq validate -f testFiles/random1.fasta -r -")
+    want = _run("kreeq validate -f testFiles/random1.fasta "
+                "-r testFiles/random1.fastq")
+    assert out == want and "QV" in out
+
+
+def test_stdin_assembly_gz(monkeypatch):
+    """`-f -` reads a (gzipped) assembly from stdin."""
+    import gzip as _gzip
+    import io as _io
+    import sys
+
+    raw = open(os.path.join(REFERENCE, "testFiles/random1.fasta"),
+               "rb").read()
+
+    class Stdin:
+        buffer = _io.BytesIO(_gzip.compress(raw))
+
+    monkeypatch.setattr(sys, "stdin", Stdin())
+    out = _run("kreeq validate -f - -r testFiles/random1.fastq")
+    want = _run("kreeq validate -f testFiles/random1.fasta "
+                "-r testFiles/random1.fastq")
+    assert out == want
+
+
+def _run_expect_exit(cmd, cwd, capsys):
+    from kreeq_tpu.cli.main import run
+
+    old = os.getcwd()
+    try:
+        os.chdir(cwd)
+        with pytest.raises(SystemExit) as exc:
+            run(shlex.split(cmd))
+    finally:
+        os.chdir(old)
+    code = exc.value.code if exc.value.code is not None else 0
+    return code, capsys.readouterr().err
+
+
+def test_union_mismatched_k_fatal(tmp_path, capsys):
+    """Reference: src/input.cpp:137-140."""
+    for name, k in (("a.kreeq", 21), ("b.kreeq", 22)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / ".index").write_text(f"{k}\n128\n")
+    code, err = _run_expect_exit(
+        "kreeq union -d a.kreeq b.kreeq", tmp_path, capsys)
+    assert code == 1
+    assert err == "Cannot merge databases with different kmer length.\n"
+
+
+def test_union_invalid_k_fatal(tmp_path, capsys):
+    """Reference: src/input.cpp:142-145 (k==0 or k>32)."""
+    for name in ("a.kreeq", "b.kreeq"):
+        d = tmp_path / name
+        d.mkdir()
+        (d / ".index").write_text("33\n128\n")
+    code, err = _run_expect_exit(
+        "kreeq union -d a.kreeq b.kreeq", tmp_path, capsys)
+    assert code == 1
+    assert err == "Invalid kmer length.\n"
+
+
+def test_missing_file_fatal(tmp_path, capsys):
+    """Reference: gfalibs ifFileExists (called at src/main.cpp:140)."""
+    code, err = _run_expect_exit(
+        "kreeq validate -f nope.fasta -r also_nope.fastq", tmp_path, capsys)
+    assert code == 1
+    assert "does not exist" in err
+
+
+def test_bad_mode_fatal(tmp_path, capsys):
+    """Reference: src/main.cpp:70-72."""
+    code, err = _run_expect_exit("kreeq bogus -f x -r y", tmp_path, capsys)
+    assert code == 1
+    assert err == "mode bogus does not exist. Terminating\n"
+
+
 def test_anomalies_snapshot(tmp_path):
     """detect_anomalies output locked as a regression snapshot
     (semantically faithful to reference src/variants.cpp:406-456; the
