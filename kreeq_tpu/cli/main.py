@@ -161,7 +161,21 @@ def run(argv: List[str]) -> int:
     from ..core.table import KmerTable
     from ..io.fastx import load_genome
     from ..io.sequence import Genome
+    from ..parallel import multihost
     from ..utils import log
+
+    # multi-host launch (KREEQ_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID
+    # set by the pod launcher): the DB build is distributed over the
+    # global mesh; every host ends with the full table, the rest of the
+    # pipeline runs replicated and only process 0 prints
+    distributed = multihost.maybe_initialize()
+    if distributed:
+        import io as _io
+
+        import jax
+
+        if jax.process_index() != 0:
+            sys.stdout = _io.StringIO()
 
     log.set_flags(ui.verbose, getattr(ui, "profile", False))
     if ui.max_mem or ui.threads:
@@ -179,7 +193,16 @@ def run(argv: List[str]) -> int:
         if ui.in_reads:
             log.verbose("Loading input reads.")
             with log.phase("build k-mer DB"):
-                table = KmerTable.from_reads(ui.in_reads, ui.kmer_len)
+                if distributed:
+                    import jax
+
+                    mine = multihost.shard_read_files(
+                        ui.in_reads, jax.process_count(),
+                        jax.process_index())
+                    table = multihost.build_table_distributed(
+                        mine, ui.kmer_len)
+                else:
+                    table = KmerTable.from_reads(ui.in_reads, ui.kmer_len)
             log.verbose("Reads loaded.")
         else:
             with log.phase("load k-mer DB"):

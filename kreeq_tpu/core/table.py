@@ -197,6 +197,7 @@ class KmerTable:
 
         n = mesh.devices.size
         count = sharded_count_fn(mesh, k)
+        count_full = None  # full-size-bin fallback, built on first drop
 
         def read_iter():
             for path in read_files:
@@ -239,7 +240,21 @@ class KmerTable:
             block = np.full((n, width), 4, np.uint8)
             for i, b in enumerate(bufs):
                 block[i, :len(b)] = b
-            tkeys, tcov, tfw, tbw, nv = count(jnp.asarray(block))
+            tkeys, tcov, tfw, tbw, nv, drop = count(jnp.asarray(block))
+            if int(drop[0]):
+                # capacity-factor bins overflowed (skewed keys): retry
+                # the block with full-size bins, which cannot drop
+                nonlocal count_full
+                from ..utils import log
+
+                log.verbose(
+                    f"sharded routing overflow ({int(drop[0])} records); "
+                    "retrying block with full-size bins")
+                if count_full is None:
+                    count_full = sharded_count_fn(mesh, k, full_bins=True)
+                tkeys, tcov, tfw, tbw, nv, drop = count_full(
+                    jnp.asarray(block))
+                assert int(drop[0]) == 0
             for s in range(n):
                 m = int(nv[s])
                 push(s, (tkeys[s, :m], tcov[s, :m], tfw[s, :m],

@@ -384,6 +384,51 @@ def probe_bucketed(tkeys, cov, fw, bw, starts, qkeys, k: int, bits: int,
     r = jnp.where(found[:, None], r, jnp.uint32(0))
     return found, r[:, 2], r[:, 3:7], r[:, 7:11]
 
+@partial(jax.jit, static_argnums=(6, 7))
+def probe_bucketed_dyn(tkeys, cov, fw, bw, starts, qkeys, k: int,
+                       bits: int):
+    """Bucketed bisection with a data-dependent round count.
+
+    Same output as probe_bucketed, but the bisection runs under
+    lax.while_loop until every query's bracket collapses, so no static
+    `rounds` bound is needed — safe for adversarially skewed tables
+    (e.g. inside SPMD shard programs, where the host cannot inspect the
+    per-shard bucket histogram without a readback).  Typical trip count
+    is ~3 with the one-bit-past-table-size bucket index.
+    """
+    shift = jnp.uint64(2 * k - bits)
+    b = (qkeys >> shift).astype(jnp.int32)
+    b = jnp.clip(b, 0, (1 << bits) - 1)
+    lo0 = starts[b]
+    hi0 = starts[b + 1]
+
+    def cond(state):
+        lo, hi = state
+        return jnp.any(lo < hi)
+
+    def body(state):
+        lo, hi = state
+        mid = (lo + hi) >> 1
+        take = tkeys[jnp.minimum(mid, tkeys.shape[0] - 1)] < qkeys
+        lo = jnp.where(take & (lo < hi), mid + 1, lo)
+        hi = jnp.where(take | (lo >= hi), hi, mid)
+        return lo, hi
+
+    lo, _hi = jax.lax.while_loop(cond, body, (lo0, hi0))
+    idx = jnp.minimum(lo, tkeys.shape[0] - 1)
+
+    rows = jnp.concatenate(
+        [(tkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)[:, None],
+         (tkeys >> jnp.uint64(32)).astype(jnp.uint32)[:, None],
+         cov[:, None], fw, bw], axis=1)  # [T, 11]
+    r = rows[idx]
+    q_lo = (qkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    q_hi = (qkeys >> jnp.uint64(32)).astype(jnp.uint32)
+    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi)
+    r = jnp.where(found[:, None], r, jnp.uint32(0))
+    return found, r[:, 2], r[:, 3:7], r[:, 7:11]
+
+
 # ---------------------------------------------------------------------------
 # host-side packing
 

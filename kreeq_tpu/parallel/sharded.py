@@ -13,6 +13,15 @@ TPU-native re-expression of the reference's scaling story:
     owner builds its sorted sub-table locally.  Probes route the same
     way and return by the inverse exchange; QV totals reduce with psum.
 
+Routing uses capacity-factor bins (the reference routes exactly the
+records that exist, src/graph-builder.cpp:95-112; static shapes need a
+bound instead): each per-owner bin holds CAPACITY x the fair share
+p/n.  Overflow is never silent — the dropped-record count is psum'd
+and returned, and callers retry the block with full-size bins (which
+cannot drop) when it is non-zero.  For uniformly hashed k-mer keys the
+fast path overflows with negligible probability; only adversarial skew
+(e.g. one repeated k-mer) pays the retry.
+
 Shards are disjoint by construction, so multi-host DB union is a
 per-shard sorted merge with no data movement between shards.
 """
@@ -24,9 +33,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.kmers import SENTINEL, count_sorted, kmer_positions, probe_sorted
+from ..ops.kmers import (SENTINEL, build_bucket_index, count_sorted,
+                         kmer_positions, probe_bucketed_dyn)
 
 AXIS = "shard"
+
+# per-owner bin capacity = CAPACITY x fair share.  2x keeps the routed
+# payload ~2 x chunk/n per device (vs n x chunk with full bins) while
+# making overflow a <1e-12 event for hashed keys at realistic chunk
+# sizes (Chernoff: P[Bin(p, 1/n) > 2p/n] ~ exp(-p/(3n))).
+CAPACITY = 2.0
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -34,12 +50,22 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
+def _bin_capacity(p: int, n: int, full: bool) -> int:
+    """Static per-owner bin size for routing p records to n owners."""
+    if full or n == 1:
+        return p
+    cap = int(np.ceil(CAPACITY * p / n))
+    cap = (cap + 127) & ~127  # multiple of 128 for clean tiling
+    return min(max(cap, 128), p)
+
+
 def _bucket_by_owner(keys, payload, valid, n: int, bucket: int):
     """Scatter records into [n, bucket] per-owner bins (local op).
 
-    Records beyond a bin's capacity are dropped (callers size bins to
-    make this impossible for real workloads); invalid slots carry
-    SENTINEL keys.
+    Returns (keys[n,bucket], payload[n,bucket], pos[n,bucket], dropped)
+    where `dropped` counts records beyond a bin's capacity — callers
+    must surface it (never silently accept a drop).  Invalid slots
+    carry SENTINEL keys.
     """
     p = keys.shape[0]
     owner = jnp.where(valid, (keys % jnp.uint64(n)).astype(jnp.int32), n)
@@ -52,8 +78,10 @@ def _bucket_by_owner(keys, payload, valid, n: int, bucket: int):
     start = jnp.searchsorted(owner_s, jnp.arange(n, dtype=jnp.int32))
     rank = jnp.arange(p, dtype=jnp.int32) - start[
         jnp.clip(owner_s, 0, n - 1)]
-    flat_idx = jnp.where((owner_s < n) & (rank < bucket),
-                         owner_s * bucket + rank, n * bucket)
+    in_bin = (owner_s < n) & (rank < bucket)
+    dropped = jnp.sum(((owner_s < n) & (rank >= bucket))
+                      .astype(jnp.int32))
+    flat_idx = jnp.where(in_bin, owner_s * bucket + rank, n * bucket)
 
     out_keys = jnp.full((n * bucket + 1,), SENTINEL, jnp.uint64)
     out_keys = out_keys.at[flat_idx].set(keys_s, mode="drop")[:-1]
@@ -62,14 +90,16 @@ def _bucket_by_owner(keys, payload, valid, n: int, bucket: int):
     out_pos = jnp.full((n * bucket + 1,), -1, jnp.int32)
     out_pos = out_pos.at[flat_idx].set(pos_s, mode="drop")[:-1]
     return (out_keys.reshape(n, bucket), out_payload.reshape(n, bucket),
-            out_pos.reshape(n, bucket))
+            out_pos.reshape(n, bucket), dropped)
 
 
-def sharded_count_fn(mesh: Mesh, k: int):
+def sharded_count_fn(mesh: Mesh, k: int, full_bins: bool = False):
     """Build the jitted SPMD counting step.
 
     Input: codes uint8[n*chunk] (sharded on devices).  Output: per-shard
-    sorted tables (keys/cov/fw/bw stacked on the device axis) + n_valid.
+    sorted tables (keys/cov/fw/bw stacked on the device axis), n_valid,
+    and the psum'd dropped-record count (0 on the full_bins variant by
+    construction; callers retry with full_bins=True when non-zero).
     """
     n = mesh.devices.size
 
@@ -78,8 +108,9 @@ def sharded_count_fn(mesh: Mesh, k: int):
         chunk = codes.shape[0]
         p = chunk - k + 1
         keys, _isfw, edges, valid = kmer_positions(codes, k)
-        bucket = p  # safe upper bound
-        bkeys, bedges, _ = _bucket_by_owner(keys, edges, valid, n, bucket)
+        bucket = _bin_capacity(p, n, full_bins)
+        bkeys, bedges, _, dropped = _bucket_by_owner(
+            keys, edges, valid, n, bucket)
         # route records to their owner shard
         rkeys = jax.lax.all_to_all(bkeys, AXIS, 0, 0, tiled=False)
         redges = jax.lax.all_to_all(bedges, AXIS, 0, 0, tiled=False)
@@ -87,38 +118,76 @@ def sharded_count_fn(mesh: Mesh, k: int):
         redges = redges.reshape(-1)
         ukeys, cov, fw, bw, nvalid = count_sorted(
             rkeys, redges, rkeys != SENTINEL)
+        all_dropped = jax.lax.psum(dropped, AXIS)
         return (ukeys[None], cov[None], fw[None], bw[None],
-                nvalid[None])
+                nvalid[None], all_dropped[None])
 
     from jax import shard_map
 
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(P(AXIS),),
-                   out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
+                   out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                              P(AXIS)))
     return jax.jit(fn)
 
 
-def sharded_probe_fn(mesh: Mesh, k: int, cutoff: int = 0):
+def sharded_bucket_fn(mesh: Mesh, k: int, bits: int):
+    """Per-shard bucket-index builder (one searchsorted per table).
+
+    Run once per built table so repeated probe steps skip the index
+    cost; pass the result to sharded_probe_fn.
+    """
+
+    def local_step(tkeys):
+        return build_bucket_index(tkeys[0], k, bits)[None]
+
+    from jax import shard_map
+
+    fn = shard_map(local_step, mesh=mesh, in_specs=(P(AXIS),),
+                   out_specs=P(AXIS))
+    return jax.jit(fn)
+
+
+def probe_bits(table_rows: int, k: int) -> int:
+    """Bucket-index width for a per-shard table of `table_rows` slots
+    (matches KmerTable.bucket_index's one-bit-past-table-size rule)."""
+    import math
+
+    n = max(table_rows, 2)
+    return min(max(8, math.ceil(math.log2(n)) + 1), 24, 2 * k)
+
+
+def sharded_probe_fn(mesh: Mesh, k: int, bits: int, cutoff: int = 0,
+                     full_bins: bool = False):
     """Build the jitted SPMD probe step.
 
-    Inputs: per-shard tables (as produced by sharded_count_fn) and a
-    device-sharded query code array.  Output: per-position (found, cov,
-    fw, bw) in the original query layout plus psum'd QV counters.
+    Inputs: per-shard tables + bucket starts (sharded_count_fn /
+    sharded_bucket_fn outputs) and a device-sharded query code array.
+    Output: per-position (found, cov) in the original query layout,
+    psum'd QV counters, and the psum'd dropped-query count (callers
+    retry with full_bins=True when non-zero).
+
+    The per-shard lookup is the bucketed bisection
+    (ops/kmers.probe_bucketed_dyn): ~3 HBM gather rounds against the
+    shard sub-table instead of log2(table) searchsorted rounds, with a
+    data-dependent while_loop bound so skewed shards stay exact.
     """
     n = mesh.devices.size
 
-    def local_step(tkeys, tcov, tfw, tbw, codes):
+    def local_step(tkeys, tcov, tfw, tbw, tstarts, codes):
         codes = codes[0]
         tkeys, tcov, tfw, tbw = tkeys[0], tcov[0], tfw[0], tbw[0]
+        tstarts = tstarts[0]
         chunk = codes.shape[0]
         p = chunk - k + 1
         keys, isfw, _edges, valid = kmer_positions(codes, k)
-        bucket = p
-        bkeys, _bp, bpos = _bucket_by_owner(
+        bucket = _bin_capacity(p, n, full_bins)
+        bkeys, _bp, bpos, dropped = _bucket_by_owner(
             keys, jnp.zeros_like(keys, jnp.uint32), valid, n, bucket)
         rkeys = jax.lax.all_to_all(bkeys, AXIS, 0, 0)
         flat = rkeys.reshape(-1)
-        found, cov, fw, bw = probe_sorted(tkeys, tcov, tfw, tbw, flat)
+        found, cov, fw, bw = probe_bucketed_dyn(
+            tkeys, tcov, tfw, tbw, tstarts, flat, k, bits)
         # answers return by the inverse exchange
         def back(x):
             shaped = x.reshape(n, bucket, *x.shape[1:])
@@ -175,25 +244,36 @@ def sharded_probe_fn(mesh: Mesh, k: int, cutoff: int = 0):
         miss = jax.lax.psum(jnp.sum(missing.astype(jnp.int32)), AXIS)
         emiss = jax.lax.psum(jnp.sum(edge_missing.astype(jnp.int32)),
                              AXIS)
+        all_dropped = jax.lax.psum(dropped, AXIS)
         return (qfound[None], qcov[None], tot[None], miss[None],
-                emiss[None])
+                emiss[None], all_dropped[None])
 
     from jax import shard_map
 
     fn = shard_map(local_step, mesh=mesh,
-                   in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
-                   out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)))
+                   in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                             P(AXIS)),
+                   out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                              P(AXIS)))
     return jax.jit(fn)
 
 
-def full_pipeline_fn(mesh: Mesh, k: int):
+def full_pipeline_fn(mesh: Mesh, k: int, table_rows: int | None = None):
     """Count reads and validate an assembly in one jitted SPMD step —
-    the framework's 'training step' for multi-chip dry runs."""
+    the framework's 'training step' for multi-chip dry runs.
+
+    Asserts the capacity-factor routing did not drop records (retry
+    orchestration lives in KmerTable._from_reads_sharded; the one-shot
+    pipeline instead surfaces drops in its outputs).
+    """
     count = sharded_count_fn(mesh, k)
-    probe = sharded_probe_fn(mesh, k)
 
     def step(read_codes, asm_codes):
-        tkeys, tcov, tfw, tbw, _n = count(read_codes)
-        return probe(tkeys, tcov, tfw, tbw, asm_codes)
+        tkeys, tcov, tfw, tbw, _n, count_drop = count(read_codes)
+        bits = probe_bits(tkeys.shape[-1], k)
+        starts = sharded_bucket_fn(mesh, k, bits)(tkeys)
+        probe = sharded_probe_fn(mesh, k, bits)
+        out = probe(tkeys, tcov, tfw, tbw, starts, asm_codes)
+        return out[:-1] + (out[-1] + count_drop,)
 
     return jax.jit(step)

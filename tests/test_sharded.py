@@ -64,12 +64,61 @@ def test_sharded_pipeline_matches_oracle(mesh):
         asm_codes[d, :len(a)] = seq_to_codes(a)
 
     step = full_pipeline_fn(mesh, k)
-    _qf, _qc, tot, miss, _em = step(jnp.asarray(read_codes),
-                                    jnp.asarray(asm_codes))
+    _qf, _qc, tot, miss, _em, drop = step(jnp.asarray(read_codes),
+                                          jnp.asarray(asm_codes))
     otot, omiss = _oracle(reads, asms, k)
     assert int(np.asarray(tot)[0]) == otot
     assert int(np.asarray(miss)[0]) == omiss
     assert omiss > 0  # the divergence actually exercised the miss path
+    assert int(np.asarray(drop)[0]) == 0
+
+
+def test_skewed_keys_drop_loudly_and_retry_exactly(mesh):
+    """Adversarial skew (one repeated k-mer, all records owned by one
+    shard) must overflow the capacity-factor bins LOUDLY — reported in
+    the dropped counter, never silently — and the full-size-bin retry
+    path must recover the exact counts."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import SENTINEL
+    from kreeq_tpu.parallel.sharded import sharded_count_fn
+
+    n = mesh.devices.size
+    k = 15
+    chunk = 4096  # large enough that 2x-fair-share bins can't hold a
+    # single-owner chunk (capacity ~ 2*chunk/n << chunk)
+    read_codes = np.zeros((n, chunk), np.uint8)  # poly-A: one key
+
+    count = sharded_count_fn(mesh, k)
+    _tk, _tc, _tf, _tb, _nv, drop = count(jnp.asarray(read_codes))
+    assert int(np.asarray(drop)[0]) > 0  # overflow is accounted, loud
+
+    full = sharded_count_fn(mesh, k, full_bins=True)
+    tkeys, tcov, _f, _b, nv, drop = full(jnp.asarray(read_codes))
+    assert int(np.asarray(drop)[0]) == 0
+    tkeys, tcov = np.asarray(tkeys), np.asarray(tcov)
+    real = tkeys != np.uint64(SENTINEL)
+    assert real.sum() == 1  # poly-A has exactly one canonical k-mer
+    assert int(tcov[real][0]) == n * (chunk - k + 1)
+
+
+def test_from_reads_sharded_skew_retry(mesh, tmp_path):
+    """KmerTable.from_reads on a skewed input retries overflowing
+    blocks with full bins and matches the single-device build."""
+    from kreeq_tpu.core.table import KmerTable
+
+    rng = np.random.default_rng(11)
+    seqs = ["A" * 3000 for _ in range(6)]
+    seqs += ["".join(rng.choice(list("ACGT"), size=500)) for _ in range(4)]
+    p = tmp_path / "skew.fasta"
+    p.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    want = KmerTable.from_reads([str(p)], 15)
+    got = KmerTable.from_reads([str(p)], 15, chunk=4096, mesh=mesh)
+    assert np.array_equal(got.keys, want.keys)
+    assert np.array_equal(got.cov, want.cov)
+    assert np.array_equal(got.fw, want.fw)
+    assert np.array_equal(got.bw, want.bw)
 
 
 def test_sharded_tables_match_host_table(mesh):
@@ -90,7 +139,8 @@ def test_sharded_tables_match_host_table(mesh):
         read_codes[d, :len(r)] = seq_to_codes(r)
 
     count = sharded_count_fn(mesh, k)
-    tkeys, tcov, _tfw, _tbw, nvalid = count(jnp.asarray(read_codes))
+    tkeys, tcov, _tfw, _tbw, nvalid, drop = count(jnp.asarray(read_codes))
+    assert int(np.asarray(drop)[0]) == 0
     tkeys = np.asarray(tkeys)
     tcov = np.asarray(tcov)
 
