@@ -114,10 +114,12 @@ def test_distributed_cli_stdout_matches_single_process(tmp_path):
                             capture_output=True, timeout=600)
     assert single.returncode == 0, single.stderr.decode()
     def degloo(b):
-        # the gloo CPU backend prints a connection banner to stdout;
-        # real TPU pods don't use gloo, so filter it for comparison
+        # the gloo CPU backend prints connection banners to stdout
+        # ("[Gloo] ..." and "... peer ranks is : N"); real TPU pods
+        # don't use gloo, so filter them for comparison
         return b"".join(l for l in b.splitlines(keepends=True)
-                        if not l.startswith(b"[Gloo]"))
+                        if not l.startswith(b"[Gloo]")
+                        and b"peer ranks" not in l)
 
     assert degloo(outs[0][0]) == single.stdout  # byte-exact stats + QV
     assert degloo(outs[1][0]) == b""  # non-zero hosts stay silent
