@@ -42,10 +42,18 @@ def main() -> None:
 
     # chain a data dependency between iterations and read back a scalar
     # at the end: the remote execution relay elides repeated identical
-    # calls, so unchained same-input timing is bogus
+    # calls, so unchained same-input timing is bogus.  The first few
+    # chained dispatches after compilation run ~3x slower than steady
+    # state (relay pipelining warms up), so a full chained warm-up loop
+    # precedes the timed one — steady-state throughput is what a
+    # multi-chunk production build sees.
     iters = 5
-    t0 = time.perf_counter()
     carry = codes
+    for _ in range(3):
+        tkeys, cov, fw, bw, n = count_step(carry)
+        carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
+    _ = int(n)
+    t0 = time.perf_counter()
     for _ in range(iters):
         tkeys, cov, fw, bw, n = count_step(carry)
         carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
@@ -72,8 +80,12 @@ def main() -> None:
 
     out = probe_step(tkeys, cov, fw, bw, asm)
     _ = int(out[3][0])
-    t0 = time.perf_counter()
     carry = asm
+    for _ in range(3):
+        out = probe_step(tkeys, cov, fw, bw, carry)
+        carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
+    _ = int(out[3][0])
+    t0 = time.perf_counter()
     for _ in range(iters):
         out = probe_step(tkeys, cov, fw, bw, carry)
         carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)

@@ -148,6 +148,23 @@ def _compact_order(flag):
     return (ssk & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
 
+def _sort_keys_edges(skeys, e32):
+    """Sort (key, 8 edge bits) records: u32/u64 2-key representation.
+
+    XLA's variadic sort with a u64 key operand is slow on TPU (8M:
+    (u64, u32) 1-key = 405 ms); re-expressing the same order as a
+    2-key sort of (u32 hi24, u64 lo38|edges8) runs in 42 ms.  Ties on
+    the key sort by edge bits, which is harmless: run totals are
+    order-independent within a run.  Valid for every k <= 32.
+    """
+    hi = (skeys >> jnp.uint64(38)).astype(jnp.uint32)
+    lo = ((skeys & jnp.uint64((1 << 38) - 1)) << jnp.uint64(8)) | e32
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    keys = (shi.astype(jnp.uint64) << jnp.uint64(38)) \
+        | (slo >> jnp.uint64(8))
+    return keys, (slo & jnp.uint64(0xFF)).astype(jnp.uint32)
+
+
 @jax.jit
 def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
     """Aggregate (key, edgebits) records into a sorted unique table.
@@ -162,12 +179,16 @@ def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
     blocked prefix sum, `_prefix_sum01`) are compacted to the front at
     run ends by a single u32 sort + row gather (`_compact_order` — row
     scatters serialize on TPU), and per-run totals are adjacent
-    differences of the compacted rows.
+    differences of the compacted rows.  The permutation payload is
+    padded to 16 columns and gathered with unique_indices=True: on v5e
+    a [8M,16] unique-index row gather costs 201 ms vs 662 ms for the
+    naive [8M,11] (see scripts/bench_count_variants.py).  Full step:
+    307 ms at 8M vs 1161 ms for the round-1 shape (same run).
     """
     p = keys.shape[0]
     skeys = jnp.where(valid, keys, SENTINEL)
-    sedges = jnp.where(valid, edges, 0).astype(jnp.uint32)
-    skeys, sedges = jax.lax.sort((skeys, sedges), num_keys=1)
+    e32 = jnp.where(valid, edges, 0).astype(jnp.uint64)
+    skeys, sedges = _sort_keys_edges(skeys, e32)
 
     boundary = skeys[1:] != skeys[:-1]
     starts = jnp.concatenate([jnp.ones((1,), bool), boundary])
@@ -191,9 +212,11 @@ def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
     key_hi = jnp.where(flag, (skeys >> jnp.uint64(32))
                        .astype(jnp.uint32), ffff)
     payload = jnp.concatenate(
-        [c, key_lo[:, None], key_hi[:, None]], axis=1)  # [P, 11]
+        [c, key_lo[:, None], key_hi[:, None],
+         jnp.zeros((p, 5), jnp.uint32)], axis=1)  # [P, 16]
 
-    out = payload[_compact_order(flag)]
+    out = jnp.take(payload, _compact_order(flag), axis=0,
+                   unique_indices=True)
 
     ukeys = (out[:, 9].astype(jnp.uint64)
              | (out[:, 10].astype(jnp.uint64) << jnp.uint64(32)))
@@ -243,9 +266,27 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     cov = jnp.concatenate([cov_a, cov_b])
     fw = jnp.concatenate([fw_a, fw_b])
     bw = jnp.concatenate([bw_a, bw_b])
-    order = jnp.argsort(keys)
-    keys, cov, fw, bw = keys[order], cov[order], fw[order], bw[order]
     p = keys.shape[0]
+    # 2-key u32/u64 sort with a passenger index + ONE padded 16-column
+    # unique-index row gather — same representation rationale as
+    # count_sorted (u64-keyed variadic sorts and narrow row gathers are
+    # the slow shapes on TPU).  The index rides in lo's low 26 bits
+    # (enough for 67M-row merges; larger tables take the argsort path).
+    if p <= (1 << 26):
+        hi = (keys >> jnp.uint64(38)).astype(jnp.uint32)
+        lo = ((keys & jnp.uint64((1 << 38) - 1)) << jnp.uint64(26)) \
+            | jnp.arange(p, dtype=jnp.uint64)
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+        keys = (shi.astype(jnp.uint64) << jnp.uint64(38)) \
+            | (slo >> jnp.uint64(26))
+        order = (slo & jnp.uint64((1 << 26) - 1)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(keys)
+        keys = keys[order]
+    payload = jnp.concatenate(
+        [cov[:, None], fw, bw, jnp.zeros((p, 7), jnp.uint32)], axis=1)
+    srt = jnp.take(payload, order, axis=0, unique_indices=True)
+    cov, fw, bw = srt[:, 0], srt[:, 1:5], srt[:, 5:9]
 
     starts = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     real = keys != SENTINEL
@@ -267,14 +308,26 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     bw2 = jnp.where(nxt_same[:, None], satadd(bw, nxt(bw)), bw)
 
     # compact run starts to the front (pre-masked so tail rows read as
-    # SENTINEL/zero) — sort + gather beats a row scatter on TPU
+    # SENTINEL/zero) — sort + ONE wide unique-index gather beats a row
+    # scatter and per-array gathers on TPU
     flag = starts & real
     order = _compact_order(flag)
-    okeys = jnp.where(flag, keys, SENTINEL)[order]
+    ffff = jnp.uint32(0xFFFFFFFF)
     z32 = jnp.uint32(0)
-    return (okeys, jnp.where(flag, cov2, z32)[order],
-            jnp.where(flag[:, None], fw2, z32)[order],
-            jnp.where(flag[:, None], bw2, z32)[order], n)
+    mkeys = jnp.where(flag, keys, SENTINEL)
+    out = jnp.concatenate(
+        [jnp.where(flag, cov2, z32)[:, None],
+         jnp.where(flag[:, None], fw2, z32),
+         jnp.where(flag[:, None], bw2, z32),
+         jnp.where(flag, (mkeys & jnp.uint64(0xFFFFFFFF))
+                   .astype(jnp.uint32), ffff)[:, None],
+         jnp.where(flag, (mkeys >> jnp.uint64(32))
+                   .astype(jnp.uint32), ffff)[:, None],
+         jnp.zeros((p, 5), jnp.uint32)], axis=1)
+    out = jnp.take(out, order, axis=0, unique_indices=True)
+    okeys = (out[:, 9].astype(jnp.uint64)
+             | (out[:, 10].astype(jnp.uint64) << jnp.uint64(32)))
+    return okeys, out[:, 0], out[:, 1:5], out[:, 5:9], n
 
 
 @jax.jit
