@@ -54,3 +54,69 @@ def next_key_bw(key: int, base: int, k: int) -> int:
     """Shift one base backward: base + kmer[:-1] (reference
     buildNextKmer bw branch)."""
     return ((key << 2) & mask(k)) | base
+
+
+# -- vectorized (numpy) versions ---------------------------------------------
+
+
+def revcomp_keys_np(keys, k: int):
+    """Vectorized reverse complement of packed u64 keys."""
+    import numpy as np
+
+    m = np.uint64((1 << (2 * k)) - 1)
+    x = (~keys & m) << np.uint64(64 - 2 * k)
+    for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
+                   (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
+        mm = np.uint64(mm)
+        x = ((x & mm) << np.uint64(sh)) | ((x >> np.uint64(sh)) & mm)
+    return ((x << np.uint64(32)) | (x >> np.uint64(32))) & m
+
+
+def canonical_np(keys, k: int):
+    """Vectorized canonical(): (canonical keys, isFw)."""
+    import numpy as np
+
+    rc = revcomp_keys_np(keys, k)
+    isfw = keys <= rc
+    return np.where(isfw, keys, rc), isfw
+
+
+def neighbors8_np(keys, k: int, rc=None):
+    """Canonical neighbour keys of each key, [n, 8] in the scan order
+    of the reference's search loops: (fw0, bw0, fw1, bw1, ..., fw3, bw3)
+    — i.e. for each base i, the forward then the backward extension
+    (reference: src/subgraph.cpp:329-356).
+
+    A neighbour's reverse complement is the key's reverse complement
+    shifted one base the other way, so given `rc` (the rc of `keys`,
+    computed once per n keys) no per-neighbour bit-reversal is needed
+    — 8x less revcomp work than canonical_np on all 8n neighbours.
+    """
+    import numpy as np
+
+    keys = np.asarray(keys, np.uint64)
+    if rc is None:
+        rc = revcomp_keys_np(keys, k)
+    m = np.uint64((1 << (2 * k)) - 1)
+    bases = np.arange(4, dtype=np.uint64)[None, :]
+    comp = np.uint64(3) - bases
+    top = np.uint64(2 * (k - 1))
+    raw_fw = (keys[:, None] >> np.uint64(2)) | (bases << top)
+    rc_fw = ((rc[:, None] << np.uint64(2)) & m) | comp
+    raw_bw = ((keys[:, None] << np.uint64(2)) & m) | bases
+    rc_bw = (rc[:, None] >> np.uint64(2)) | (comp << top)
+    out = np.empty((keys.shape[0], 8), np.uint64)
+    out[:, 0::2] = np.minimum(raw_fw, rc_fw)
+    out[:, 1::2] = np.minimum(raw_bw, rc_bw)
+    return out
+
+
+def isin_sorted_np(sorted_keys, queries):
+    """Membership of `queries` in the ascending array `sorted_keys`."""
+    import numpy as np
+
+    if sorted_keys.size == 0:
+        return np.zeros(np.shape(queries), bool)
+    idx = np.searchsorted(sorted_keys, queries)
+    idx = np.minimum(idx, sorted_keys.size - 1)
+    return sorted_keys[idx] == queries

@@ -92,24 +92,28 @@ def extract_subgraph(dbg) -> Dict[int, SubNode]:
         if bed is not None:
             spans = bed.get(seg.header, [])
 
+        # positions in span scan order; first occurrence of a key wins
+        # (phmap insert semantics), vectorized via np.unique
+        pos_parts = [np.arange(lo, min(hi, kcount)) for lo, hi in spans]
+        pos = (np.concatenate(pos_parts) if pos_parts
+               else np.empty(0, np.int64))
+        pos = pos[valid[pos]]
+        _u, first = np.unique(keys[pos], return_index=True)
+        pos = pos[np.sort(first)]
+
         seg_map: Dict[int, SubNode] = {}
-        for lo, hi in spans:
-            for p in range(lo, min(hi, kcount)):
-                if not valid[p]:
-                    continue  # window contains a non-ACGT base
-                key = int(keys[p])
-                if key in seg_map:
-                    continue  # phmap insert: first occurrence wins
-                if found[p]:
-                    seg_map[key] = SubNode(list(map(int, fw[p])),
-                                           list(map(int, bw[p])),
-                                           int(cov[p]), 1)
-                elif not ui.no_reference:
-                    e = int(edges[p])
-                    node = SubNode([(e >> w) & 1 for w in range(4)],
-                                   [(e >> (4 + w)) & 1 for w in range(4)],
-                                   1, 2)
-                    seg_map[key] = node
+        for p in pos:
+            key = int(keys[p])
+            if found[p]:
+                seg_map[key] = SubNode(list(map(int, fw[p])),
+                                       list(map(int, bw[p])),
+                                       int(cov[p]), 1)
+            elif not ui.no_reference:
+                e = int(edges[p])
+                node = SubNode([(e >> w) & 1 for w in range(4)],
+                               [(e >> (4 + w)) & 1 for w in range(4)],
+                               1, 2)
+                seg_map[key] = node
         for key, node in seg_map.items():
             tgt = merged.get(key)
             if tgt is None:
@@ -168,31 +172,59 @@ def _db_node(table, key: int) -> Optional[SubNode]:
 
 def traversal(dbg, sub: Dict[int, SubNode]) -> None:
     """BFS frontier expansion, kmerDepth rounds (reference:
-    src/subgraph.cpp:301-415)."""
+    src/subgraph.cpp:301-415).
+
+    Batched redesign: each round computes every frontier node's eight
+    canonical neighbour keys vectorized (numpy), dedups to the first
+    occurrence in the reference's exact scan order (frontier insertion
+    order x fw0,bw0,..,fw3,bw3), and answers all lookups with ONE
+    batched device probe.  Insertion order of discovered nodes — which
+    goldens pin via GFA segment ids — is byte-identical to the scalar
+    loop: keys absent from the DB never enter `new`, so ordering found
+    candidates by first scan occurrence matches per-key lookups.
+    """
+    from .keys import isin_sorted_np, neighbors8_np
+
     k = dbg.k
     table = dbg.table
     depth = dbg.ui.resolved_kmer_depth()
     candidates: Dict[int, SubNode] = {}
-    frontier = sub
+
+    sub_sorted = np.sort(np.fromiter(sub.keys(), np.uint64, len(sub)))
+    fkeys = np.fromiter(sub.keys(), np.uint64, len(sub))
+    ffw = np.array([n.fw for n in sub.values()],
+                   np.uint32).reshape(-1, 4)
+    fbw = np.array([n.bw for n in sub.values()],
+                   np.uint32).reshape(-1, 4)
+
     for _ in range(depth):
+        if fkeys.size == 0:
+            break
+        cand = neighbors8_np(fkeys, k)  # [n, 8] scan order
+        emask = np.empty((fkeys.size, 8), bool)
+        emask[:, 0::2] = ffw != 0
+        emask[:, 1::2] = fbw != 0
+        ok = emask & ~isin_sorted_np(sub_sorted, cand)
+        flat_idx = np.nonzero(ok.ravel())[0]
+        vals = cand.ravel()[flat_idx]
+        _u, first = np.unique(vals, return_index=True)
+        ckeys = vals[np.sort(first)]  # ordered unique candidates
+        if ckeys.size == 0:
+            break
+        pad = max(64, 1 << int(np.ceil(np.log2(ckeys.size))))
+        qbuf = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+        qbuf[:ckeys.size] = ckeys
+        found, cov, fw, bw = table.probe(qbuf)
+        hit = np.nonzero(found[:ckeys.size])[0]
         new: Dict[int, SubNode] = {}
-        for key, node in frontier.items():
-            for i in range(4):
-                if node.fw[i] != 0:
-                    nk, _ = canonical(next_key_fw(key, i, k), k)
-                    if nk not in sub and nk not in new:
-                        found = _db_node(table, nk)
-                        if found is not None:
-                            new[nk] = found
-                if node.bw[i] != 0:
-                    nk, _ = canonical(next_key_bw(key, i, k), k)
-                    if nk not in sub and nk not in new:
-                        found = _db_node(table, nk)
-                        if found is not None:
-                            new[nk] = found
-        for key, node in new.items():
-            candidates.setdefault(key, node)
-        frontier = new
+        for i in hit:
+            node = SubNode(list(map(int, fw[i])), list(map(int, bw[i])),
+                           int(cov[i]), 0)
+            new[int(ckeys[i])] = node
+            candidates.setdefault(int(ckeys[i]), node)
+        fkeys = ckeys[hit]
+        ffw = fw[hit]
+        fbw = bw[hit]
     for key, node in candidates.items():
         sub.setdefault(key, node)
 
@@ -324,19 +356,31 @@ def search_graph(dbg, sub: Dict[int, SubNode]) -> Dict[int, SubNode]:
 def remove_missing_edges(dbg, sub: Dict[int, SubNode]) -> None:
     """Zero edges whose endpoint is not in the subgraph; only counters
     above the cutoff are eligible for pruning (reference quirk,
-    src/subgraph.cpp:599-628)."""
+    src/subgraph.cpp:599-628).  All 8n canonical neighbour keys and
+    their membership tests run vectorized; only nodes that actually
+    prune are touched in Python."""
+    from .keys import isin_sorted_np, neighbors8_np
+
+    if not sub:
+        return
     k = dbg.k
     cutoff = dbg.ui.cov_cutoff
-    for key, node in sub.items():
+    keys = np.fromiter(sub.keys(), np.uint64, len(sub))
+    fw = np.array([n.fw for n in sub.values()], np.uint32).reshape(-1, 4)
+    bw = np.array([n.bw for n in sub.values()], np.uint32).reshape(-1, 4)
+    cand = neighbors8_np(keys, k)  # [n, 8] = fw0,bw0,..,fw3,bw3
+    eligible = np.empty((keys.size, 8), bool)
+    eligible[:, 0::2] = fw > cutoff
+    eligible[:, 1::2] = bw > cutoff
+    prune = eligible & ~isin_sorted_np(np.sort(keys), cand)
+    nodes = list(sub.values())
+    for r in np.nonzero(prune.any(axis=1))[0]:
+        node = nodes[r]
         for i in range(4):
-            if node.fw[i] > cutoff:
-                nk, _ = canonical(next_key_fw(key, i, k), k)
-                if nk not in sub:
-                    node.fw[i] = 0
-            if node.bw[i] > cutoff:
-                nk, _ = canonical(next_key_bw(key, i, k), k)
-                if nk not in sub:
-                    node.bw[i] = 0
+            if prune[r, 2 * i]:
+                node.fw[i] = 0
+            if prune[r, 2 * i + 1]:
+                node.bw[i] = 0
 
 
 def subgraph_summary_lines(sub: Dict[int, SubNode], k: int) -> List[str]:

@@ -23,7 +23,8 @@ from typing import Dict, List, Optional, Tuple
 
 from ..constants import revcom
 from .fibheap import FibonacciHeap
-from .keys import canonical, key_to_seq, next_key_bw, next_key_fw
+from .keys import (canonical, key_to_seq, next_key_bw, next_key_fw,
+                   revcomp_keys_np)
 
 SNV, INS, DEL, COM = "SNV", "INS", "DEL", "COM"
 
@@ -187,17 +188,7 @@ def variants_to_gfa(dbg, seg) -> None:
         genome.delete_segment(header)
 
 
-def _revcomp_keys_np(keys, k: int):
-    """Vectorized reverse complement of packed u64 keys (numpy)."""
-    import numpy as np
-
-    m = np.uint64((1 << (2 * k)) - 1)
-    x = (~keys & m) << np.uint64(64 - 2 * k)
-    for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
-                   (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
-        mm = np.uint64(mm)
-        x = ((x & mm) << np.uint64(sh)) | ((x >> np.uint64(sh)) & mm)
-    return ((x << np.uint64(32)) | (x >> np.uint64(32))) & m
+_revcomp_keys_np = revcomp_keys_np
 
 
 def dbg_to_variants(dbg, seg) -> None:
