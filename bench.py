@@ -73,10 +73,12 @@ def main() -> None:
     counts = np.diff(np.asarray(starts))
     rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
 
+    use_merge = int(tkeys.shape[0]) <= 6 * pchunk  # KmerTable.probe rule
+
     @jax.jit
     def probe_step(tkeys, cov, fw, bw, codes):
         return validate_positions(tkeys, cov, fw, bw, starts, codes, k, 0,
-                                  bits, rounds)
+                                  bits, rounds, use_merge)
 
     out = probe_step(tkeys, cov, fw, bw, asm)
     _ = int(out[3][0])

@@ -107,8 +107,17 @@ class DBG:
         self.tot_edge_missing = 0
         if len(self.table):
             tkeys, tcov, tfw, tbw = self.table.device_arrays()
-            starts, bits, rounds = self.table.bucket_index()
+            # sort-merge probe when the table isn't much larger than a
+            # window (see KmerTable.probe); the bucket index is only
+            # built when the bisection path is taken
+            use_merge = tkeys.shape[0] <= 6 * self.VALIDATE_WINDOW
+            if use_merge:
+                bits, rounds = 8, 1
+                starts = jnp.zeros((1 << bits) + 1, jnp.int32)
+            else:
+                starts, bits, rounds = self.table.bucket_index()
         else:
+            use_merge = False
             tkeys = jnp.zeros(1, jnp.uint64) - 1
             tcov = jnp.zeros(1, jnp.uint32)
             tfw = jnp.zeros((1, 4), jnp.uint32)
@@ -148,7 +157,7 @@ class DBG:
                  left) = validate_positions(tkeys, tcov, tfw, tbw, starts,
                                             jnp.asarray(buf), k,
                                             self.ui.cov_cutoff, bits,
-                                            rounds)
+                                            rounds, use_merge)
                 sl = slice(lead, lead + (b - a))
                 self.tot_missing += int(np.asarray(missing[sl]).sum())
                 self.tot_edge_missing += int(

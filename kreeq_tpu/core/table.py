@@ -361,10 +361,16 @@ class KmerTable:
                     np.zeros((len(q), 4), np.uint32),
                     np.zeros((len(q), 4), np.uint32))
         tkeys, cov, fw, bw = self.device_arrays()
-        starts, bits, rounds = self.bucket_index()
-        found, qcov, qfw, qbw = K.probe_bucketed(
-            tkeys, cov, fw, bw, starts, jnp.asarray(qkeys), self.k, bits,
-            rounds)
+        q = jnp.asarray(qkeys)
+        if tkeys.shape[0] <= 6 * q.shape[0]:
+            # sort-merge join: cost ~ (t + q), beats the bisection's
+            # per-round gathers whenever the table is not much larger
+            # than the batch (219 ms vs 533 ms at t=8M, q=4M on v5e)
+            found, qcov, qfw, qbw = K.probe_merge(tkeys, cov, fw, bw, q)
+        else:
+            starts, bits, rounds = self.bucket_index()
+            found, qcov, qfw, qbw = K.probe_bucketed(
+                tkeys, cov, fw, bw, starts, q, self.k, bits, rounds)
         return (np.asarray(found), np.asarray(qcov), np.asarray(qfw),
                 np.asarray(qbw))
 

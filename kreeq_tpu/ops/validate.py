@@ -20,23 +20,32 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .kmers import kmer_positions, probe_bucketed
+from .kmers import kmer_positions, probe_bucketed, probe_merge
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
-                       cutoff: int, bits: int, rounds: int):
+                       cutoff: int, bits: int, rounds: int,
+                       use_merge: bool = False):
     """codes: uint8[N] one segment (BAD-padded to a bucket size).
 
     Returns per-position arrays of length P = N - k + 1:
       valid, missing, edge_missing (bool), cov u32, isfw bool,
       right u32, left u32.
+
+    use_merge selects the gather-free sort-merge probe, which wins
+    whenever the table is not much larger than the window (the caller
+    decides — see KmerTable.probe for the heuristic).
     """
     n = codes.shape[0]
     p = n - k + 1
     keys, isfw, _edges, valid = kmer_positions(codes, k)
-    found, cov, fw, bw = probe_bucketed(tkeys, tcov, tfw, tbw, starts,
-                                        keys, k, bits, rounds)
+    if use_merge:
+        found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw, keys)
+    else:
+        found, cov, fw, bw = probe_bucketed(tkeys, tcov, tfw, tbw,
+                                            starts, keys, k, bits,
+                                            rounds)
     found = found & valid
 
     nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])

@@ -127,7 +127,7 @@ def main() -> None:
                          (1 << bits) - 1)
             lo = starts[b]
             blk = jax.vmap(lambda s: jax.lax.dynamic_slice(
-                rows_pad, (s, 0), (S, 16)))(lo)
+                rows_pad, (s, jnp.zeros((), s.dtype)), (S, 16)))(lo)
             qlo = (qk & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
             qhi = (qk >> jnp.uint64(32)).astype(jnp.uint32)
             hit = ((blk[:, :, 0] == qlo[:, None])
@@ -136,6 +136,47 @@ def main() -> None:
             return qk, c[0].astype(jnp.uint64)
 
         timed(f"slab dyn-slice ({S}x16)", e_slab, (rows_pad, starts))
+
+    # gather-free sort-merge join with the fast 2-key representation:
+    # one (hi24, lo38|tag|src23) sort of [table ++ queries], cummax
+    # carries the last table row, one u64 sort restores query order,
+    # one wide row gather fetches payloads
+    def e_merge2(qk, tkeys, rows16):
+        t = tkeys.shape[0]
+        q = qk.shape[0]
+        m38 = jnp.uint64((1 << 38) - 1)
+        allk = jnp.concatenate([tkeys, qk])
+        tag = jnp.concatenate([jnp.zeros((t,), jnp.uint64),
+                               jnp.ones((q,), jnp.uint64)])
+        src = jnp.concatenate([jnp.arange(t, dtype=jnp.uint64),
+                               jnp.arange(q, dtype=jnp.uint64)])
+        hi = (allk >> jnp.uint64(38)).astype(jnp.uint32)
+        lo = ((allk & m38) << jnp.uint64(26)) | (tag << jnp.uint64(25)) \
+            | src
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+        skey = (shi.astype(jnp.uint64) << jnp.uint64(38)) \
+            | (slo >> jnp.uint64(26))
+        is_t = (slo & jnp.uint64(1 << 25)) == 0
+        ssrc = (slo & jnp.uint64((1 << 25) - 1)).astype(jnp.int32)
+        last_tbl = jax.lax.cummax(jnp.where(is_t, ssrc, -1))
+        carried = jax.lax.cummax(jnp.where(is_t, skey, 0))
+        found = (~is_t) & (last_tbl >= 0) & (carried == skey)
+        # restore query order: single u64 sort keyed by query src
+        v = jnp.where(
+            is_t, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+            (ssrc.astype(jnp.uint64) << jnp.uint64(25))
+            | (jnp.maximum(last_tbl, 0).astype(jnp.uint64)
+               << jnp.uint64(1))
+            | found.astype(jnp.uint64))
+        sv = jax.lax.sort(v)[:q]
+        idx = ((sv >> jnp.uint64(1))
+               & jnp.uint64((1 << 24) - 1)).astype(jnp.int32)
+        fnd = (sv & jnp.uint64(1)).astype(bool)
+        r = rows16[idx]
+        c = jnp.where(fnd, r[:, 2], 0)
+        return qk, c[0].astype(jnp.uint64)
+
+    timed("sort-merge join (2-key rep)", e_merge2, (tkeys, rows16))
 
     # deeper bucket index (fewer bisect rounds): bits+2 -> max_bucket/4
     bits2 = min(bits + 2, 24, 2 * k)

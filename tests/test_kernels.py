@@ -187,3 +187,49 @@ def test_probe():
         assert list(fw[i]) == want[key][0:4]
         assert list(bw[i]) == want[key][4:8]
     assert not found[-3:].any() or {1, 2, 3} & set(keys)
+
+
+def test_probe_merge_matches_bucketed():
+    """probe_merge is an exact drop-in for the bucketed bisection,
+    including SENTINEL table padding, key 0, duplicate queries, and
+    all-miss batches (kreeq_tpu/ops/kmers.py probe_merge)."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import (build_bucket_index, probe_bucketed,
+                                     probe_merge)
+
+    rng = np.random.default_rng(11)
+    k = 21
+    t, q = 1 << 12, 1 << 10
+    tkeys = np.unique(rng.integers(0, 1 << (2 * k), t, dtype=np.uint64))
+    tkeys = np.sort(tkeys)
+    # include key 0 and SENTINEL padding rows
+    tkeys[0] = 0
+    pad = t - tkeys.size + 8
+    tkeys = np.concatenate(
+        [tkeys, np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
+    tt = tkeys.size
+    cov = rng.integers(1, 100, tt).astype(np.uint32)
+    fw = rng.integers(0, 100, (tt, 4)).astype(np.uint32)
+    bw = rng.integers(0, 100, (tt, 4)).astype(np.uint32)
+    hits = tkeys[rng.integers(0, tt - pad, q // 2)]
+    misses = rng.integers(0, 1 << (2 * k), q // 2, dtype=np.uint64)
+    qkeys = np.concatenate([hits, misses, hits[:1], [np.uint64(0)]])
+
+    args = tuple(map(jnp.asarray, (tkeys, cov, fw, bw)))
+    qj = jnp.asarray(qkeys)
+    bits = 12
+    starts = build_bucket_index(args[0], k, bits)
+    counts = np.diff(np.asarray(starts))
+    rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
+    want = probe_bucketed(*args, starts, qj, k, bits, rounds)
+    got = probe_merge(*args, qj)
+    for a, b in zip(want, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # all-miss batch
+    qmiss = jnp.asarray(np.full(64, 7, np.uint64))
+    found, c, f4, b4 = probe_merge(*args, qmiss)
+    if 7 not in tkeys:
+        assert not np.asarray(found).any()
+        assert not np.asarray(c).any()
