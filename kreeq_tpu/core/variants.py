@@ -191,6 +191,47 @@ def variants_to_gfa(dbg, seg) -> None:
 _revcomp_keys_np = revcomp_keys_np
 
 
+def _candidate_scan_fn():
+    """Build the jitted depth-0 candidate scan (device; see
+    dbg_to_variants).  A neighbour's reverse complement is the source
+    rc shifted one base the other way, so one [P] revcomp serves all
+    eight neighbours."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(4,))
+    def scan(keys_c, isfw_c, fws, bws, k, cutoff):
+        m = jnp.uint64((1 << (2 * k)) - 1)
+        x = ((~keys_c) & m) << jnp.uint64(64 - 2 * k)
+        for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
+                       (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
+            mm = jnp.uint64(mm)
+            x = ((x & mm) << jnp.uint64(sh)) | ((x >> jnp.uint64(sh)) & mm)
+        rc = ((x << jnp.uint64(32)) | (x >> jnp.uint64(32))) & m
+
+        bases = jnp.arange(4, dtype=jnp.uint64)[None, :]
+        comp = jnp.uint64(3) - bases
+        top = jnp.uint64(2 * (k - 1))
+        raw_fw = (keys_c[:, None] >> jnp.uint64(2)) | (bases << top)
+        rc_fw = ((rc[:, None] << jnp.uint64(2)) & m) | comp
+        raw_bw = ((keys_c[:, None] << jnp.uint64(2)) & m) | bases
+        rc_bw = (rc[:, None] >> jnp.uint64(2)) | (comp << top)
+        cand = jnp.where(isfw_c[:, None],
+                         jnp.minimum(raw_fw, rc_fw),
+                         jnp.minimum(raw_bw, rc_bw))
+        cond = jnp.where(isfw_c[:, None], fws > 0, bws > cutoff)
+        ref_next = jnp.concatenate(
+            [keys_c[1:], jnp.full((1,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+        return (cond & (cand != ref_next[:, None])).any(axis=1)
+
+    return scan
+
+
+_candidate_scan = None
+
+
 def dbg_to_variants(dbg, seg) -> None:
     """Reference: src/variants.cpp:53-169.
 
@@ -235,29 +276,36 @@ def dbg_to_variants(dbg, seg) -> None:
     all_keys[invalid] = np.uint64(1 << 63) | invalid.astype(np.uint64)
 
     # ONE batched probe answers every per-position table.lookup
-    found, covs, fws, bws = table.probe(all_keys[:kcount])
+    # (query padded to a power of two: compile-stable shapes)
+    qpad = max(64, 1 << int(np.ceil(np.log2(kcount))))
+    qbuf = np.full(qpad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    qbuf[:kcount] = all_keys[:kcount]
+    found, covs, fws, bws = (a[:kcount] for a in table.probe(qbuf))
     found = found & valid[:kcount]
 
-    # vectorized depth-0 candidate scan (the quirk semantics of
-    # search_variants' first iteration: direction = isFw; fw side
+    # vectorized depth-0 candidate scan on DEVICE (the quirk semantics
+    # of search_variants' first iteration: direction = isFw; fw side
     # ignores the cutoff, bw side applies it; the reference-edge
     # neighbour is excluded).  Positions with no candidates are exactly
     # those whose search extracts the source, explores nothing, and
     # stops explored=True with no paths.
     keys_c = all_keys[:kcount]
     isfw_c = all_isfw[:kcount]
-    mask_k = np.uint64((1 << (2 * k)) - 1)
-    bases = np.arange(4, dtype=np.uint64)[None, :]
-    raw_fw = (keys_c[:, None] >> np.uint64(2)) | (
-        bases << np.uint64(2 * (k - 1)))
-    raw_bw = ((keys_c[:, None] << np.uint64(2)) & mask_k) | bases
-    raw = np.where(isfw_c[:, None], raw_fw, raw_bw)
-    cand_keys = np.minimum(raw, _revcomp_keys_np(raw, k))
-    cond = np.where(isfw_c[:, None], fws > 0, bws > np.uint32(cutoff))
-    ref_next = np.empty(kcount, np.uint64)
-    ref_next[:-1] = keys_c[1:]
-    ref_next[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)  # no ref edge at the end
-    has_candidate = (cond & (cand_keys != ref_next[:, None])).any(axis=1)
+    global _candidate_scan
+    if _candidate_scan is None:
+        _candidate_scan = _candidate_scan_fn()
+    pad = max(64, 1 << int(np.ceil(np.log2(kcount))))  # compile-stable
+    kp = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    kp[:kcount] = keys_c
+    ip = np.ones(pad, bool)
+    ip[:kcount] = isfw_c
+    fp = np.zeros((pad, 4), np.uint32)
+    fp[:kcount] = fws
+    bp = np.zeros((pad, 4), np.uint32)
+    bp[:kcount] = bws
+    has_candidate = np.asarray(_candidate_scan(
+        jnp.asarray(kp), jnp.asarray(ip), jnp.asarray(fp),
+        jnp.asarray(bp), k, jnp.uint32(cutoff)))[:kcount]
 
     # Only positions that are found AND have a non-reference candidate
     # run the host search.  The reference's targets_queue/targets_map

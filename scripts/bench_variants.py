@@ -120,6 +120,7 @@ def main():
     dbg.load_genome(g)
     seg = dbg.genome.segments[0]
 
+    dbg_to_variants(dbg, seg)  # warm (JIT compiles)
     t0 = time.perf_counter()
     dbg_to_variants(dbg, seg)
     t_new = time.perf_counter() - t0
