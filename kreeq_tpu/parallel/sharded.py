@@ -34,7 +34,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kmers import (SENTINEL, build_bucket_index, count_sorted,
-                         kmer_positions, probe_bucketed_dyn)
+                         kmer_positions, probe_bucketed_dyn, probe_merge)
 
 AXIS = "shard"
 
@@ -186,8 +186,15 @@ def sharded_probe_fn(mesh: Mesh, k: int, bits: int, cutoff: int = 0,
             keys, jnp.zeros_like(keys, jnp.uint32), valid, n, bucket)
         rkeys = jax.lax.all_to_all(bkeys, AXIS, 0, 0)
         flat = rkeys.reshape(-1)
-        found, cov, fw, bw = probe_bucketed_dyn(
-            tkeys, tcov, tfw, tbw, tstarts, flat, k, bits)
+        if tkeys.shape[0] <= 6 * flat.shape[0]:
+            # gather-free sort-merge join (see KmerTable.probe): wins
+            # when the shard sub-table isn't much larger than the
+            # routed batch, and has no data-dependent control flow
+            found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw,
+                                             flat)
+        else:
+            found, cov, fw, bw = probe_bucketed_dyn(
+                tkeys, tcov, tfw, tbw, tstarts, flat, k, bits)
         # answers return by the inverse exchange
         def back(x):
             shaped = x.reshape(n, bucket, *x.shape[1:])
