@@ -132,17 +132,53 @@ class KmerTable:
 
         # tree-merge chunk tables: pairwise device merges of similarly
         # sized partials keep each merge O(size) instead of rescanning
-        # an ever-growing accumulator per chunk
-        levels = []  # levels[i] holds at most one table of "size 2^i"
+        # an ever-growing accumulator per chunk.
+        #
+        # Pipelining: no step of the chunk loop blocks on the device.
+        # Every part carries its distinct-count as a DEVICE scalar with
+        # an async host copy started at creation; a part is trimmed to
+        # pow2(n) only when it is next consumed by a merge, by which
+        # point its n has long materialized on the host (the stall the
+        # round-1 one-chunk lookahead only partially hid).  Fresh parts
+        # enter merges untrimmed, so the only readbacks in the chunk
+        # loop are on counts from >= 1 chunk ago.
+        levels = []  # levels[i] holds at most one part per tree level
 
-        def merge(a, b):
-            a = _pad_part(a, _pow2(a[0].shape[0]))
-            b = _pad_part(b, _pow2(b[0].shape[0]))
+        def _async_part(arrs, n):
+            try:
+                n.copy_to_host_async()
+            except AttributeError:
+                pass
+            return (*arrs, n)
+
+        def _trim(part):
+            """Slice a stored part down to pow2(n) SENTINEL-padded rows
+            (the n readback is host-ready for stored parts)."""
+            keys, cov, fw, bw, n = part
+            size = _pow2(int(n))
+            if size < keys.shape[0]:
+                return (keys[:size], cov[:size], fw[:size], bw[:size], n)
+            return part
+
+        def merge(stored, fresh):
+            # both operands end up power-of-two sized (the stored side
+            # by its ready n, the fresh side by shape alone — no
+            # readback) so merge shape pairs repeat across the build:
+            # every new shape pair costs a full XLA compile
+            a = _pad_part(_trim(stored)[:4], _pow2(int(stored[4])))
+            b = _pad_part(fresh[:4], _pow2(fresh[0].shape[0]))
             mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
-            nm = int(nm)
-            return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
+            return _async_part((mkeys, mcov, mfw, mbw), nm)
 
         def push(part):
+            # retrim every stored level first: their counts are
+            # host-ready one push after creation, and untrimmed merge
+            # outputs would otherwise hold HBM at 2x-6x their content
+            # (a high-coverage level keeps ~n_genome real rows in a
+            # sum-of-chunk-sizes buffer)
+            for j, lv in enumerate(levels):
+                if lv is not None:
+                    levels[j] = _trim(lv)
             i = 0
             while True:
                 if i == len(levels):
@@ -158,31 +194,24 @@ class KmerTable:
         from ..utils import log
 
         count_fn = K.get_count_sorted()
-        pending = None  # one-chunk lookahead hides the n-readback sync
-
-        def drain(i, parts):
-            ukeys, cov, fw, bw, n = parts
-            n = int(n)
-            push((ukeys[:n], cov[:n], fw[:n], bw[:n]))
-            log.verbose(f"counted chunk {i} ({n} distinct)")
 
         for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
             keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
-            parts = count_fn(keys, edges, valid)
-            if pending is not None:
-                drain(i - 1, pending)
-            pending = parts
-        if pending is not None:
-            drain(i, pending)
+            ukeys, cov, fw, bw, n = count_fn(keys, edges, valid)
+            push(_async_part((ukeys, cov, fw, bw), n))
+            if log.verbose_flag:
+                log.verbose(f"counted chunk {i} ({int(n)} distinct)")
 
         acc = None
         for part in levels:
             if part is None:
                 continue
-            acc = part if acc is None else merge(acc, part)
+            # both sides are stored parts here: trim both (ready ns)
+            acc = part if acc is None else merge(acc, _trim(part))
         if acc is None:
             return cls.empty(k)
-        return cls(k, *(np.asarray(a) for a in acc))
+        n = int(acc[4])
+        return cls(k, *(np.asarray(a)[:n] for a in acc[:4]))
 
     @classmethod
     def _from_reads_sharded(cls, read_files, k: int, chunk: int,
@@ -321,11 +350,40 @@ class KmerTable:
     # -- probing -----------------------------------------------------------
 
     def device_arrays(self):
+        """Device copies, SENTINEL-padded to a quantized size.
+
+        Padding to the {2^i, 1.5*2^i} grid (<= 33% rows, probes handle
+        SENTINEL rows exactly) makes every downstream probe program's
+        shape a function of the table's size BUCKET, not its exact
+        row count — XLA compiles through the remote compiler cost
+        30-220 s per shape, and an exact-sized table would recompile
+        for every freshly built DB.
+        """
         import jax.numpy as jnp
 
         if self._device is None:
-            self._device = (jnp.asarray(self.keys), jnp.asarray(self.cov),
-                            jnp.asarray(self.fw), jnp.asarray(self.bw))
+            from ..ops.kmers import SENTINEL
+
+            n = len(self.keys)
+            size = 64
+            while size < n:
+                size *= 2
+            if n <= size // 4 * 3 and size // 4 * 3 >= 64:
+                size = size // 4 * 3
+            pad = size - n
+            if pad:
+                keys = np.concatenate(
+                    [self.keys,
+                     np.full(pad, np.uint64(SENTINEL), np.uint64)])
+                cov = np.concatenate([self.cov, np.zeros(pad, np.uint32)])
+                fw = np.concatenate([self.fw,
+                                     np.zeros((pad, 4), np.uint32)])
+                bw = np.concatenate([self.bw,
+                                     np.zeros((pad, 4), np.uint32)])
+            else:
+                keys, cov, fw, bw = self.keys, self.cov, self.fw, self.bw
+            self._device = (jnp.asarray(keys), jnp.asarray(cov),
+                            jnp.asarray(fw), jnp.asarray(bw))
         return self._device
 
     def bucket_index(self):
@@ -343,6 +401,12 @@ class KmerTable:
             # dominant cost)
             bits = min(max(8, math.ceil(math.log2(n)) + 1), 24, 2 * self.k)
             starts = build_bucket_index(tkeys, self.k, bits)
+            # device_arrays pads the table with a SENTINEL tail; cap
+            # bucket ends at the real row count so the tail neither
+            # inflates the last bucket nor the bisection round bound
+            import jax.numpy as jnp
+
+            starts = jnp.minimum(starts, len(self))
             counts = np.diff(np.asarray(starts))
             rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
             self._bucket = (starts, bits, rounds)

@@ -233,3 +233,26 @@ def test_probe_merge_matches_bucketed():
     if 7 not in tkeys:
         assert not np.asarray(found).any()
         assert not np.asarray(c).any()
+
+
+def test_highcoverage_multichunk_retrim(tmp_path):
+    """Deferred-trim pipeline at high duplication: many chunks of the
+    SAME sequence collapse through the level retrims to one small
+    table identical to the single-chunk build (core/table.py
+    from_reads push/_trim)."""
+    from kreeq_tpu.core.table import KmerTable
+
+    rng = np.random.default_rng(9)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    # 30x coverage: 90 copies in overlapping thirds
+    reads = [base[i % 3 * 1000:(i % 3 + 1) * 1000 + K - 1]
+             for i in range(90)]
+    path = tmp_path / "reads.fasta"
+    path.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(reads)))
+    multi = KmerTable.from_reads([str(path)], k=K, chunk=1 << 11)
+    one = KmerTable.from_reads([str(path)], k=K, chunk=1 << 20)
+    assert np.array_equal(multi.keys, one.keys)
+    assert np.array_equal(multi.cov, one.cov)
+    assert np.array_equal(multi.fw, one.fw)
+    assert np.array_equal(multi.bw, one.bw)
+    assert multi.cov.max() >= 30
