@@ -231,18 +231,65 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
 
 def best_first(dbg, sub: Dict[int, SubNode]) -> Dict[int, SubNode]:
     """Per-node bounded Dijkstra with shared cache (reference:
-    src/subgraph.cpp:417-579)."""
+    src/subgraph.cpp:417-579).
+
+    Batched prefilter: a source whose depth-0 iteration can insert no
+    node — every above-cutoff neighbour is already in the subgraph or
+    absent from the DB — runs to an empty heap with zero discoveries
+    and zero cache writes (in-sub neighbours only append the source
+    itself to `destinations`, whose backtrack loop is then a no-op),
+    so skipping it is exact.  One vectorized neighbour scan plus one
+    batched device probe selects the true boundary sources; only those
+    run the host Fibonacci-heap search.
+    """
     cache: Dict[int, SubNode] = {}
     candidates: Dict[int, SubNode] = {}
     copy: Dict[int, SubNode] = {}
-    for key, node in sub.items():
-        _explored, discovered = _dijkstra(dbg, sub, key, node, cache)
-        for dk, dn in discovered.items():
-            candidates.setdefault(dk, dn)
+    need = _boundary_sources(dbg, sub)
+    for idx, (key, node) in enumerate(sub.items()):
+        if need[idx]:
+            _explored, discovered = _dijkstra(dbg, sub, key, node, cache)
+            for dk, dn in discovered.items():
+                candidates.setdefault(dk, dn)
         copy[key] = node
     for dk, dn in candidates.items():
         copy.setdefault(dk, dn)
     return copy
+
+
+def _boundary_sources(dbg, sub: Dict[int, SubNode]):
+    """Mask over sub's insertion order: sources whose depth-0 scan can
+    insert at least one node (above-cutoff edge to a key that is not
+    in sub and is in the DB)."""
+    from .keys import isin_sorted_np, neighbors8_np
+
+    n = len(sub)
+    if n == 0:
+        return np.zeros(0, bool)
+    k = dbg.k
+    cutoff = dbg.ui.cov_cutoff
+    keys = np.fromiter(sub.keys(), np.uint64, n)
+    fw = np.array([nd.fw for nd in sub.values()], np.uint32) \
+        .reshape(-1, 4)
+    bw = np.array([nd.bw for nd in sub.values()], np.uint32) \
+        .reshape(-1, 4)
+    cand = neighbors8_np(keys, k)  # fw0,bw0,..,fw3,bw3
+    elig = np.empty((n, 8), bool)
+    elig[:, 0::2] = fw > cutoff
+    elig[:, 1::2] = bw > cutoff
+    maybe = elig & ~isin_sorted_np(np.sort(keys), cand)
+    flat = cand[maybe]
+    if flat.size == 0:
+        return np.zeros(n, bool)
+    uniq = np.unique(flat)
+    pad = max(64, 1 << int(np.ceil(np.log2(uniq.size))))
+    qbuf = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    qbuf[:uniq.size] = uniq
+    found, _c, _f, _b = dbg.table.probe(qbuf)
+    in_db = np.zeros((n, 8), bool)
+    in_db[maybe] = found[:uniq.size][
+        np.searchsorted(uniq, flat)]
+    return (maybe & in_db).any(axis=1)
 
 
 def _dijkstra(dbg, sub, source_key: int, source_node: SubNode, cache):

@@ -106,6 +106,36 @@ def main() -> None:
     print(f"speedup: {t_old / t_new:.1f}x — outputs identical "
           f"(incl. insertion order)", flush=True)
 
+    # best-first: prefiltered vs exhaustive per-node Dijkstra
+    from kreeq_tpu.core.subgraph import _dijkstra, best_first
+
+    ui.trav_algorithm = "best-first"
+    ui.kmer_depth = -1
+    sub3 = extract_subgraph(dbg)
+    sub4 = dict(sub3)
+
+    t0 = time.time()
+    out_new = best_first(dbg, sub3)
+    t_new = time.time() - t0
+    print(f"prefiltered best-first: {t_new:6.2f}s -> {len(out_new)} nodes",
+          flush=True)
+
+    t0 = time.time()
+    cache, candidates, copy = {}, {}, {}
+    for key, node in sub4.items():
+        _e, discovered = _dijkstra(dbg, sub4, key, node, cache)
+        for dk, dn in discovered.items():
+            candidates.setdefault(dk, dn)
+        copy[key] = node
+    for dk, dn in candidates.items():
+        copy.setdefault(dk, dn)
+    t_old = time.time() - t0
+    print(f"exhaustive best-first:  {t_old:6.2f}s -> {len(copy)} nodes",
+          flush=True)
+    assert list(out_new.keys()) == list(copy.keys()), "order mismatch"
+    print(f"best-first speedup: {t_old / t_new:.1f}x — identical",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
