@@ -191,20 +191,41 @@ def variants_to_gfa(dbg, seg) -> None:
 _revcomp_keys_np = revcomp_keys_np
 
 
-def _candidate_scan_fn():
-    """Build the jitted depth-0 candidate scan (device; see
-    dbg_to_variants).  A neighbour's reverse complement is the source
-    rc shifted one base the other way, so one [P] revcomp serves all
-    eight neighbours."""
+def _scan_probe_fn():
+    """Build the fused device program of dbg_to_variants: k-mer
+    extraction, invalid-position sentinels, the batched table probe,
+    and the depth-0 candidate scan — ONE dispatch, no intermediate
+    host materialization.  A neighbour's reverse complement is the
+    source rc shifted one base the other way, so one [P] revcomp
+    serves all eight neighbours."""
     from functools import partial
 
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnums=(4,))
-    def scan(keys_c, isfw_c, fws, bws, k, cutoff):
+    from ..ops.kmers import kmer_positions, probe_bucketed, probe_merge
+
+    @partial(jax.jit, static_argnums=(7, 8, 9, 10))
+    def f(tkeys, tcov, tfw, tbw, starts, codes, cutoff,
+          k, use_merge, bits, rounds):
+        p = codes.shape[0] - k + 1
+        keys, isfw, _e, valid = kmer_positions(codes, k)
+        # non-ACGT windows: the reference hashes garbage bytes into a
+        # key that misses the DB; a distinct high-bit sentinel per
+        # position mirrors that (canonical keys are < 4^k)
+        iota = jnp.arange(p, dtype=jnp.uint64)
+        keys = jnp.where(valid, keys, jnp.uint64(1 << 63) | iota)
+
+        if use_merge:
+            found, covs, fws, bws = probe_merge(tkeys, tcov, tfw, tbw,
+                                                keys)
+        else:
+            found, covs, fws, bws = probe_bucketed(
+                tkeys, tcov, tfw, tbw, starts, keys, k, bits, rounds)
+        found = found & valid
+
         m = jnp.uint64((1 << (2 * k)) - 1)
-        x = ((~keys_c) & m) << jnp.uint64(64 - 2 * k)
+        x = ((~keys) & m) << jnp.uint64(64 - 2 * k)
         for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
                        (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
             mm = jnp.uint64(mm)
@@ -214,22 +235,23 @@ def _candidate_scan_fn():
         bases = jnp.arange(4, dtype=jnp.uint64)[None, :]
         comp = jnp.uint64(3) - bases
         top = jnp.uint64(2 * (k - 1))
-        raw_fw = (keys_c[:, None] >> jnp.uint64(2)) | (bases << top)
+        raw_fw = (keys[:, None] >> jnp.uint64(2)) | (bases << top)
         rc_fw = ((rc[:, None] << jnp.uint64(2)) & m) | comp
-        raw_bw = ((keys_c[:, None] << jnp.uint64(2)) & m) | bases
+        raw_bw = ((keys[:, None] << jnp.uint64(2)) & m) | bases
         rc_bw = (rc[:, None] >> jnp.uint64(2)) | (comp << top)
-        cand = jnp.where(isfw_c[:, None],
+        cand = jnp.where(isfw[:, None],
                          jnp.minimum(raw_fw, rc_fw),
                          jnp.minimum(raw_bw, rc_bw))
-        cond = jnp.where(isfw_c[:, None], fws > 0, bws > cutoff)
+        cond = jnp.where(isfw[:, None], fws > 0, bws > cutoff)
         ref_next = jnp.concatenate(
-            [keys_c[1:], jnp.full((1,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
-        return (cond & (cand != ref_next[:, None])).any(axis=1)
+            [keys[1:], jnp.full((1,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+        has_candidate = (cond & (cand != ref_next[:, None])).any(axis=1)
+        return keys, isfw, found & has_candidate, covs, fws, bws
 
-    return scan
+    return f
 
 
-_candidate_scan = None
+_scan_probe = None
 
 
 def dbg_to_variants(dbg, seg) -> None:
@@ -256,56 +278,38 @@ def dbg_to_variants(dbg, seg) -> None:
     cache: Dict[int, object] = {}
     variants: List[List[DBGpath]] = []
 
-    # all segment keys/orientations computed once on device
+    # ONE fused device program: extraction + sentinels + batched probe
+    # + depth-0 candidate scan (the quirk semantics of search_variants'
+    # first iteration: direction = isFw; fw side ignores the cutoff, bw
+    # side applies it; the reference-edge neighbour is excluded).
+    # Positions with no candidates are exactly those whose search
+    # extracts the source, explores nothing, and stops explored=True
+    # with no paths.  codes padded to a power of two: compile-stable
+    # shapes (trailing BAD windows are invalid, so they probe as
+    # not-found and their sentinels collide with nothing).
     import numpy as np
 
     import jax.numpy as jnp
 
-    from ..ops.kmers import kmer_positions
-
-    all_keys, all_isfw, _e, valid = kmer_positions(jnp.asarray(codes), k)
-    all_keys = np.asarray(all_keys).copy()
-    all_isfw = np.asarray(all_isfw)
-    valid = np.asarray(valid)
-    # k-mers containing non-ACGT bases: the reference hashes the raw
-    # code>3 bytes into a garbage key that misses the DB and matches no
-    # read-graph key; a distinct high-bit sentinel per position mirrors
-    # that (canonical keys are < 4^k), instead of aliasing the masked
-    # codes to an A-substituted k-mer that could spuriously probe found
-    invalid = np.nonzero(~valid[:kcount])[0]
-    all_keys[invalid] = np.uint64(1 << 63) | invalid.astype(np.uint64)
-
-    # ONE batched probe answers every per-position table.lookup
-    # (query padded to a power of two: compile-stable shapes)
-    qpad = max(64, 1 << int(np.ceil(np.log2(kcount))))
-    qbuf = np.full(qpad, 0xFFFFFFFFFFFFFFFF, np.uint64)
-    qbuf[:kcount] = all_keys[:kcount]
-    found, covs, fws, bws = (a[:kcount] for a in table.probe(qbuf))
-    found = found & valid[:kcount]
-
-    # vectorized depth-0 candidate scan on DEVICE (the quirk semantics
-    # of search_variants' first iteration: direction = isFw; fw side
-    # ignores the cutoff, bw side applies it; the reference-edge
-    # neighbour is excluded).  Positions with no candidates are exactly
-    # those whose search extracts the source, explores nothing, and
-    # stops explored=True with no paths.
+    global _scan_probe
+    if _scan_probe is None:
+        _scan_probe = _scan_probe_fn()
+    pad = max(64, 1 << int(np.ceil(np.log2(ln))))
+    cbuf = np.full(pad, 4, np.uint8)
+    cbuf[:ln] = codes
+    tkeys, tcov, tfw, tbw = table.device_arrays()
+    use_merge = tkeys.shape[0] <= 6 * (pad - k + 1)
+    if use_merge:
+        bits, rounds = 8, 1
+        starts = jnp.zeros((1 << bits) + 1, jnp.int32)
+    else:
+        starts, bits, rounds = table.bucket_index()
+    all_keys_d, isfw_d, search_d, covs, fws, bws = _scan_probe(
+        tkeys, tcov, tfw, tbw, starts, jnp.asarray(cbuf),
+        jnp.uint32(cutoff), k, use_merge, bits, rounds)
+    all_keys = np.asarray(all_keys_d)  # host: targets windows need all
+    all_isfw = np.asarray(isfw_d)
     keys_c = all_keys[:kcount]
-    isfw_c = all_isfw[:kcount]
-    global _candidate_scan
-    if _candidate_scan is None:
-        _candidate_scan = _candidate_scan_fn()
-    pad = max(64, 1 << int(np.ceil(np.log2(kcount))))  # compile-stable
-    kp = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
-    kp[:kcount] = keys_c
-    ip = np.ones(pad, bool)
-    ip[:kcount] = isfw_c
-    fp = np.zeros((pad, 4), np.uint32)
-    fp[:kcount] = fws
-    bp = np.zeros((pad, 4), np.uint32)
-    bp[:kcount] = bws
-    has_candidate = np.asarray(_candidate_scan(
-        jnp.asarray(kp), jnp.asarray(ip), jnp.asarray(fp),
-        jnp.asarray(bp), k, jnp.uint32(cutoff)))[:kcount]
 
     # Only positions that are found AND have a non-reference candidate
     # run the host search.  The reference's targets_queue/targets_map
@@ -316,7 +320,10 @@ def dbg_to_variants(dbg, seg) -> None:
     # its latest pop event.  `ok` is always 1 (check_next never fails,
     # so edge_count == explored_count every iteration), so one pass
     # visits everything — no re-scan loop is needed.
-    search_positions = np.nonzero(found & has_candidate)[0]
+    search_positions = np.nonzero(np.asarray(search_d)[:kcount])[0]
+    if search_positions.size > 256:
+        # many branch points: one bulk transfer beats per-row fetches
+        covs, fws, bws = (np.asarray(a) for a in (covs, fws, bws))
 
     # last-occurrence index: stable sort of keys -> per-key ascending
     # position lists, queried by searchsorted
@@ -352,7 +359,7 @@ def dbg_to_variants(dbg, seg) -> None:
     for c in search_positions:
         c = int(c)
         skey, is_fw = int(all_keys[c]), bool(all_isfw[c])
-        rec = (fws[c], bws[c], int(covs[c]))
+        rec = (np.asarray(fws[c]), np.asarray(bws[c]), int(covs[c]))
         ref_key = int(all_keys[c + 1]) if c + 1 <= kcount - 1 else None
         targets_queue, targets_map = targets_state(c)
         ok, paths = search_variants(
