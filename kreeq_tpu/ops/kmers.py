@@ -83,10 +83,17 @@ def kmer_positions(codes: jax.Array, k: int):
     isfw = fw <= rc
     keys = jnp.where(isfw, fw, rc)
 
-    # validity: no BAD code inside the window
-    bad = (codes > 3).astype(jnp.int32)
-    cbad = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(bad)])
-    valid = (cbad[k:] - cbad[:p]) == 0
+    # validity: no BAD code inside the window.  Sliding-window OR by
+    # doubling (OR is idempotent, so the final overlapping combine is
+    # exact) — ~log2(k) elementwise passes instead of an integer
+    # cumsum, which lowers to a slow serial scan on TPU.
+    y = codes > 3
+    m = 1
+    while m < k:
+        sh = min(m, k - m)
+        y = y | jnp.concatenate([y[sh:], jnp.zeros((sh,), bool)])
+        m += sh
+    valid = ~y[:p]
 
     # neighbours (BAD when outside the chunk)
     prev = jnp.concatenate([jnp.full((1,), BAD, jnp.uint8), codes[: p - 1]])

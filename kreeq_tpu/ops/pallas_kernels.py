@@ -181,7 +181,7 @@ def _run_pallas(lo, hi, edges, grid: int):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
