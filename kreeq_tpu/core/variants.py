@@ -325,18 +325,29 @@ def dbg_to_variants(dbg, seg) -> None:
         # many branch points: one bulk transfer beats per-row fetches
         covs, fws, bws = (np.asarray(a) for a in (covs, fws, bws))
 
-    # last-occurrence index: stable sort of keys -> per-key ascending
-    # position lists, queried by searchsorted
-    order = np.argsort(keys_c, kind="stable")
-    skeys_sorted = keys_c[order]
+    # last-occurrence index, restricted to keys that can actually be
+    # queried (those inside some search position's target window): one
+    # sorted-membership pass over the segment beats a full stable
+    # argsort of all P keys (the only former use of that sort)
+    occ_of: Dict[int, np.ndarray] = {}
+    if search_positions.size:
+        offs = np.arange(1, max_span + 1)
+        wpos = (search_positions[:, None] + k + offs[None, :]).ravel()
+        wpos = wpos[wpos < kcount]
+        wvals = np.unique(keys_c[wpos])
+        wi = np.minimum(np.searchsorted(wvals, keys_c), wvals.size - 1)
+        occ_pos = np.nonzero(wvals[wi] == keys_c)[0]  # ascending
+        occ_grp = np.argsort(wi[occ_pos], kind="stable")
+        bounds = np.searchsorted(wi[occ_pos][occ_grp],
+                                 np.arange(wvals.size + 1))
+        for j, key in enumerate(wvals):
+            occ_of[int(key)] = occ_pos[occ_grp[bounds[j]:bounds[j + 1]]]
 
-    def last_occurrence_le(key: np.uint64, limit: int):
+    def last_occurrence_le(key, limit: int):
         """Largest position p <= limit with keys_c[p] == key, or None."""
-        lo = int(np.searchsorted(skeys_sorted, key, side="left"))
-        hi = int(np.searchsorted(skeys_sorted, key, side="right"))
-        if lo == hi:
+        occ = occ_of.get(int(key))
+        if occ is None or occ.size == 0:
             return None
-        occ = order[lo:hi]  # ascending positions
         j = int(np.searchsorted(occ, limit, side="right")) - 1
         return int(occ[j]) if j >= 0 else None
 

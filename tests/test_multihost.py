@@ -121,7 +121,10 @@ def test_distributed_cli_stdout_matches_single_process(tmp_path):
                         if not l.startswith(b"[Gloo]")
                         and b"peer ranks" not in l)
 
-    assert degloo(outs[0][0]) == single.stdout  # byte-exact stats + QV
+    got, want = degloo(outs[0][0]), single.stdout
+    assert got == want, (  # byte-exact stats + QV
+        f"distributed stdout diverged:\n--- got ---\n{got.decode()}"
+        f"\n--- want ---\n{want.decode()}")
     assert degloo(outs[1][0]) == b""  # non-zero hosts stay silent
 
 
