@@ -183,6 +183,7 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
     loop: keys absent from the DB never enter `new`, so ordering found
     candidates by first scan occurrence matches per-key lookups.
     """
+    from ..ops.frontier import survivors_np, use_device
     from .keys import isin_sorted_np, neighbors8_np
 
     k = dbg.k
@@ -200,13 +201,19 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
     for _ in range(depth):
         if fkeys.size == 0:
             break
-        cand = neighbors8_np(fkeys, k)  # [n, 8] scan order
-        emask = np.empty((fkeys.size, 8), bool)
-        emask[:, 0::2] = ffw != 0
-        emask[:, 1::2] = fbw != 0
-        ok = emask & ~isin_sorted_np(sub_sorted, cand)
-        flat_idx = np.nonzero(ok.ravel())[0]
-        vals = cand.ravel()[flat_idx]
+        if use_device(fkeys.size):
+            # one device program replaces the O(8n) host scan
+            # (ops/frontier.py) — dominant for the first round's full
+            # seed frontier at chromosome scale
+            vals, _idx = survivors_np(fkeys, ffw, fbw, sub_sorted, k, 0)
+        else:
+            cand = neighbors8_np(fkeys, k)  # [n, 8] scan order
+            emask = np.empty((fkeys.size, 8), bool)
+            emask[:, 0::2] = ffw != 0
+            emask[:, 1::2] = fbw != 0
+            ok = emask & ~isin_sorted_np(sub_sorted, cand)
+            flat_idx = np.nonzero(ok.ravel())[0]
+            vals = cand.ravel()[flat_idx]
         _u, first = np.unique(vals, return_index=True)
         ckeys = vals[np.sort(first)]  # ordered unique candidates
         if ckeys.size == 0:
@@ -261,6 +268,7 @@ def _boundary_sources(dbg, sub: Dict[int, SubNode]):
     """Mask over sub's insertion order: sources whose depth-0 scan can
     insert at least one node (above-cutoff edge to a key that is not
     in sub and is in the DB)."""
+    from ..ops.frontier import survivors_np, use_device
     from .keys import isin_sorted_np, neighbors8_np
 
     n = len(sub)
@@ -273,12 +281,18 @@ def _boundary_sources(dbg, sub: Dict[int, SubNode]):
         .reshape(-1, 4)
     bw = np.array([nd.bw for nd in sub.values()], np.uint32) \
         .reshape(-1, 4)
-    cand = neighbors8_np(keys, k)  # fw0,bw0,..,fw3,bw3
-    elig = np.empty((n, 8), bool)
-    elig[:, 0::2] = fw > cutoff
-    elig[:, 1::2] = bw > cutoff
-    maybe = elig & ~isin_sorted_np(np.sort(keys), cand)
-    flat = cand[maybe]
+    if use_device(n):
+        flat, flat_idx = survivors_np(keys, fw, bw, np.sort(keys), k,
+                                      cutoff)
+        rows = flat_idx // 8
+    else:
+        cand = neighbors8_np(keys, k)  # fw0,bw0,..,fw3,bw3
+        elig = np.empty((n, 8), bool)
+        elig[:, 0::2] = fw > cutoff
+        elig[:, 1::2] = bw > cutoff
+        maybe = elig & ~isin_sorted_np(np.sort(keys), cand)
+        flat = cand[maybe]
+        rows = np.repeat(np.arange(n), maybe.sum(axis=1))
     if flat.size == 0:
         return np.zeros(n, bool)
     uniq = np.unique(flat)
@@ -286,10 +300,10 @@ def _boundary_sources(dbg, sub: Dict[int, SubNode]):
     qbuf = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
     qbuf[:uniq.size] = uniq
     found, _c, _f, _b = dbg.table.probe(qbuf)
-    in_db = np.zeros((n, 8), bool)
-    in_db[maybe] = found[:uniq.size][
-        np.searchsorted(uniq, flat)]
-    return (maybe & in_db).any(axis=1)
+    hit = found[:uniq.size][np.searchsorted(uniq, flat)]
+    need = np.zeros(n, bool)
+    need[rows[hit]] = True
+    return need
 
 
 def _dijkstra(dbg, sub, source_key: int, source_node: SubNode, cache):
@@ -406,6 +420,7 @@ def remove_missing_edges(dbg, sub: Dict[int, SubNode]) -> None:
     src/subgraph.cpp:599-628).  All 8n canonical neighbour keys and
     their membership tests run vectorized; only nodes that actually
     prune are touched in Python."""
+    from ..ops.frontier import survivors_np, use_device
     from .keys import isin_sorted_np, neighbors8_np
 
     if not sub:
@@ -415,12 +430,23 @@ def remove_missing_edges(dbg, sub: Dict[int, SubNode]) -> None:
     keys = np.fromiter(sub.keys(), np.uint64, len(sub))
     fw = np.array([n.fw for n in sub.values()], np.uint32).reshape(-1, 4)
     bw = np.array([n.bw for n in sub.values()], np.uint32).reshape(-1, 4)
+    nodes = list(sub.values())
+    if use_device(keys.size):
+        _vals, flat_idx = survivors_np(keys, fw, bw, np.sort(keys), k,
+                                       cutoff)
+        for f in flat_idx:
+            node = nodes[f // 8]
+            slot = f % 8
+            if slot % 2 == 0:
+                node.fw[slot // 2] = 0
+            else:
+                node.bw[slot // 2] = 0
+        return
     cand = neighbors8_np(keys, k)  # [n, 8] = fw0,bw0,..,fw3,bw3
     eligible = np.empty((keys.size, 8), bool)
     eligible[:, 0::2] = fw > cutoff
     eligible[:, 1::2] = bw > cutoff
     prune = eligible & ~isin_sorted_np(np.sort(keys), cand)
-    nodes = list(sub.values())
     for r in np.nonzero(prune.any(axis=1))[0]:
         node = nodes[r]
         for i in range(4):
