@@ -23,7 +23,8 @@ import numpy as np
 
 from ..io.sequence import Edge, Genome
 from .fibheap import FibonacciHeap
-from .keys import canonical, key_to_seq, next_key_bw, next_key_fw
+from .keys import (canonical, key_to_seq, mask, next_key_bw, next_key_fw,
+                   revcomp_key)
 
 
 @dataclass
@@ -548,23 +549,26 @@ def collapse_nodes(dbg, sub: Dict[int, SubNode]) -> Genome:
         fwkey = 0
         for i, b in enumerate(seed[:k]):
             fwkey |= b << (2 * i)
-        key, isfw = canonical(fwkey, k)
+        rckey = revcomp_key(fwkey, k)
+        key, isfw = (fwkey, True) if fwkey <= rckey else (rckey, False)
         node = sub.get(key)
         if node is None:
             return seed
-        base_counter = 0
+        top = 2 * (k - 1)
+        kmask = mask(k)
         while True:
             idx = ([i for i in range(4) if node.fw[i]] if isfw
                    else [3 - i for i in range(4) if node.bw[i]])
             i = idx[0]
-            # next kmer from seed window + new base
-            fwk = 0
-            for j in range(k - 1):
-                fwk |= seed[base_counter + 1 + j] << (2 * j)
-            fwk |= i << (2 * (k - 1))
-            base_counter += 1
+            # next kmer = window shifted one base fw: both packings
+            # update in O(1) (the rc of a fw-shift prepends the
+            # complement base), replacing the per-step O(k) repack +
+            # revcomp of the scalar canonical()
+            fwkey = (fwkey >> 2) | (i << top)
+            rckey = ((rckey << 2) & kmask) | (3 - i)
             key_prev, node_prev = key, node
-            key, isfw = canonical(fwk, k)
+            key, isfw = ((fwkey, True) if fwkey <= rckey
+                         else (rckey, False))
             got = sub.get(key)
             if got is None:
                 if key in residual:
