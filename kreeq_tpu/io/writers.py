@@ -48,17 +48,21 @@ def print_table(dbg, ext: str, out: TextIO = None) -> None:
     for path, abs_pos, seg, track in _iter_path_segments(dbg):
         ln = len(seg)
         z = np.zeros(k - 1, np.uint32)
-        cov = np.concatenate([z, track.cov])
+        # each value renders k times (once per window covering it);
+        # convert once up front instead of per row
+        cov = [str(v) for v in np.concatenate([z, track.cov]).tolist()]
         # track.right/left are orientation-normalized already; the
         # reference stores raw fw/bw and swaps on output
         # (src/kreeq-output.cpp:197-207) — net effect identical.
-        right = np.concatenate([z, track.right])
-        left = np.concatenate([z, track.left])
+        right = [str(v) for v in
+                 np.concatenate([z, track.right]).tolist()]
+        left = [str(v) for v in np.concatenate([z, track.left]).tolist()]
+        hdr = path.header
         for i in range(ln):
-            row = [path.header, str(abs_pos + i),
-                   entry_sep.join(str(v) for v in cov[i:i + k]),
-                   entry_sep.join(str(v) for v in right[i:i + k]),
-                   entry_sep.join(str(v) for v in left[i:i + k])]
+            row = [hdr, str(abs_pos + i),
+                   entry_sep.join(cov[i:i + k]),
+                   entry_sep.join(right[i:i + k]),
+                   entry_sep.join(left[i:i + k])]
             out.write(col_sep.join(row) + "\n")
     if close:
         out.close()
@@ -73,8 +77,15 @@ def print_kwig(dbg, out: TextIO = None) -> None:
     out.write(f"{dbg.k}\n")
     for path, abs_pos, seg, track in _iter_path_segments(dbg):
         out.write(f"fixedStep chrom={path.header} start={abs_pos} step=1\n")
-        for i in range(len(seg)):
-            out.write(f"{track.cov[i]},{track.right[i]},{track.left[i]}\n")
+        if len(track.cov) == 0:
+            continue
+        cells = np.stack([track.cov, track.right, track.left],
+                         axis=1).astype(str)
+        rows = cells[:, 0]
+        for c in range(1, 3):
+            rows = np.char.add(np.char.add(rows, ","), cells[:, c])
+        out.write("\n".join(rows.tolist()))
+        out.write("\n")
     if close:
         out.close()
 
