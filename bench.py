@@ -5,9 +5,12 @@ Prints ONE JSON line:
 
 The reference publishes no performance numbers (BASELINE.md); its CI
 budget is functional only.  vs_baseline is therefore reported against
-a single-threaded reference-style C++-equivalent Python/dict oracle?
-No — against 1.0 (parity with itself) until a reference measurement
-exists; the absolute numbers are the tracked quantity.
+a measured reference-style CPU oracle: tools/cpu_oracle/oracle.cpp
+re-implements the reference's hot count loop (canonical extraction +
+per-partition hash-map updates, src/graph-builder.cpp:75-205) with
+every free choice in the reference's favor, threaded over all host
+cores.  Measured 29.3 M k-mers counted/s on this host's 4 cores
+(BASELINE.md "Measured CPU oracle baseline").
 """
 
 import json
@@ -66,7 +69,9 @@ def main() -> None:
     # production validate window size — the merge-join sort scales with
     # table+query so smaller probe windows pipeline better)
     pchunk = 1 << 22
-    asm = jnp.asarray(rng.integers(0, 4, pchunk).astype(np.uint8))
+    # assembly drawn FROM the reads (hit-heavy, the production case;
+    # matches the CPU oracle's probe workload)
+    asm = jnp.asarray(genome[:pchunk])
 
     bits = min(int(np.ceil(np.log2(int(n)))) + 1, 24, 2 * k)
     starts = build_bucket_index(tkeys, k, bits)
@@ -95,12 +100,18 @@ def main() -> None:
     dt_probe = (time.perf_counter() - t0) / iters
     probe_rate = (pchunk - k + 1) / dt_probe
 
+    # measured reference-style CPU oracle on this host's 4 cores
+    # (tools/cpu_oracle, BASELINE.md): 29.3M counted/s, 66.5M probed/s
+    ORACLE_COUNT = 29.3e6
+    ORACLE_PROBE = 66.5e6
+
     result = {
         "metric": "read kmers counted/s/chip",
         "value": round(count_rate),
         "unit": "kmers/s",
-        "vs_baseline": 1.0,
+        "vs_baseline": round(count_rate / ORACLE_COUNT, 3),
         "extra": {
+            "probe_vs_cpu_oracle": round(probe_rate / ORACLE_PROBE, 3),
             "probe_kmers_per_s": round(probe_rate),
             "k": k,
             "chunk_bases": chunk,
