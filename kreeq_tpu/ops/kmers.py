@@ -389,7 +389,9 @@ def probe_merge(tkeys, cov, fw, bw, qkeys):
     sv = jax.lax.sort(v)[:q]
     idx = ((sv >> jnp.uint64(1))
            & jnp.uint64((1 << idx_bits) - 1)).astype(jnp.int32)
-    found = (sv & jnp.uint64(1)).astype(bool)
+    # SENTINEL queries (invalid k-mers) are never "found", even when
+    # the table carries SENTINEL padding rows
+    found = (sv & jnp.uint64(1)).astype(bool) & (qkeys != SENTINEL)
     rows = jnp.concatenate(
         [cov[:, None], fw, bw, jnp.zeros((t, 7), jnp.uint32)], axis=1)
     r = jnp.where(found[:, None], rows[idx], jnp.uint32(0))
@@ -407,7 +409,7 @@ def probe_sorted(tkeys, cov, fw, bw, qkeys):
     """
     idx = jnp.searchsorted(tkeys, qkeys)
     idx = jnp.minimum(idx, tkeys.shape[0] - 1)
-    found = tkeys[idx] == qkeys
+    found = (tkeys[idx] == qkeys) & (qkeys != SENTINEL)
     z32 = jnp.uint32(0)
     qcov = jnp.where(found, cov[idx], z32)
     qfw = jnp.where(found[:, None], fw[idx], z32)
@@ -462,7 +464,7 @@ def probe_bucketed(tkeys, cov, fw, bw, starts, qkeys, k: int, bits: int,
     r = rows[idx]
     q_lo = (qkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (qkeys >> jnp.uint64(32)).astype(jnp.uint32)
-    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi)
+    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi) & (qkeys != SENTINEL)
     r = jnp.where(found[:, None], r, jnp.uint32(0))
     return found, r[:, 2], r[:, 3:7], r[:, 7:11]
 
@@ -506,7 +508,7 @@ def probe_bucketed_dyn(tkeys, cov, fw, bw, starts, qkeys, k: int,
     r = rows[idx]
     q_lo = (qkeys & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     q_hi = (qkeys >> jnp.uint64(32)).astype(jnp.uint32)
-    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi)
+    found = (r[:, 0] == q_lo) & (r[:, 1] == q_hi) & (qkeys != SENTINEL)
     r = jnp.where(found[:, None], r, jnp.uint32(0))
     return found, r[:, 2], r[:, 3:7], r[:, 7:11]
 

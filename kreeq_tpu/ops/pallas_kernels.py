@@ -242,3 +242,205 @@ def count_sorted_pallas(keys, edges, valid):
 
     return (ukeys[:p], totals[:p, 0], totals[:p, 1:5], totals[:p, 5:9],
             n)
+
+
+# ---------------------------------------------------------------------------
+# Streaming merge-probe kernel
+# ---------------------------------------------------------------------------
+# probe_merge (ops/kmers.py) pays two (t+q)-element device sorts per
+# probe because XLA has no "merge two sorted streams" primitive.  This
+# kernel IS that primitive: queries are sorted once (q elements, not
+# t+q), each 256-query tile knows from a cheap boundary searchsorted
+# which table chunks can contain its matches, and the grid streams
+# exactly those chunks through VMEM — sequential HBM reads at full
+# bandwidth, no gathers.  Matching inside a (query tile, table chunk)
+# pair is one [256,256] outer key-equality (VPU) contracted on the MXU
+# against the chunk's payload split into u16 limbs (exact in f32:
+# at most one table row matches a query, limbs < 2^16).
+#
+# Replaces the reference's per-base hash probe at scale
+# (reference: src/kreeq.cpp:143-219) for both moderate AND huge
+# tables: a table much larger than the query batch is only read where
+# queries can land, so the bucketed-bisection fallback's ~log2 rounds
+# of HBM gathers disappear as well.
+
+PCOL = 16  # payload i32 rows: cov, fw0-3, bw0-3, zeros, row15 = 1
+LCOL = 32  # u16 limb rows (lo limbs 0-15, hi limbs 16-31)
+_NEVER32 = -2  # 0xFFFFFFFE: key halves no real/pad table row can have
+
+
+def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
+                  pay_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((LCOL, TILE), jnp.float32)
+
+    @pl.when(j < nch_ref[i])
+    def _():
+        # [TILE,1] query halves vs [1,TILE] table halves -> [TILE,TILE]
+        eq = ((qhi_ref[:, :] == thi_ref[:, :])
+              & (qlo_ref[:, :] == tlo_ref[:, :])).astype(jnp.float32)
+        pay = pay_ref[:, :]
+        limbs = jnp.concatenate(
+            [(pay & 0xFFFF).astype(jnp.float32),
+             (jax.lax.shift_right_logical(pay, jnp.full_like(pay, 16))
+              & 0xFFFF).astype(jnp.float32)], axis=0)  # [LCOL, TILE]
+        # res[c, a] = limb c of the table row matching query a (or 0)
+        res = jax.lax.dot_general(limbs, eq, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[:, :] += res
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles: int, dmax: int,
+               base=None, nch=None):
+    tchunks = thi.shape[1] // TILE
+
+    def qmap(i, j, b, n):
+        del j, b, n
+        return (i, 0)
+
+    def tmap(i, j, b, n):
+        # clamp j past the tile's span to its last chunk so the
+        # pipeline re-uses the resident block instead of refetching
+        c = b[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
+        return (0, jnp.minimum(c, tchunks - 1))
+
+    def omap(i, j, b, n):
+        del j, b, n
+        return (0, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq_tiles, dmax),
+        in_specs=[
+            pl.BlockSpec((TILE, 1), qmap),
+            pl.BlockSpec((TILE, 1), qmap),
+            pl.BlockSpec((1, TILE), tmap),
+            pl.BlockSpec((1, TILE), tmap),
+            pl.BlockSpec((PCOL, TILE), tmap),
+        ],
+        out_specs=pl.BlockSpec((LCOL, TILE), omap),
+    )
+    return pl.pallas_call(
+        _probe_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((LCOL, nq_tiles * TILE),
+                                       jnp.float32),
+        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
+    )(base, nch, qhi, qlo, thi, tlo, pay)
+
+
+@jax.jit
+def _probe_prep(tkeys, qkeys):
+    """Sort queries (with index) and compute per-tile table chunk
+    spans.  Returns device arrays; the wrapper reads back max(nch)
+    to pick the static grid depth."""
+    from .kmers import SENTINEL
+
+    q = qkeys.shape[0]
+    qpad = (-q) % TILE
+    # invalid/sentinel queries can never match a table row, and pads
+    # must sort last AND carry a last-position index for the restore
+    never = jnp.uint64(0xFFFFFFFFFFFFFFFE)
+    qk = jnp.where(qkeys == SENTINEL, never, qkeys)
+    qk = jnp.concatenate([qk, jnp.full((qpad,), SENTINEL, jnp.uint64)])
+    idx = jnp.concatenate([
+        jnp.arange(q, dtype=jnp.uint64),
+        jnp.full((qpad,), (1 << 26) - 1, jnp.uint64)])
+    hi = (qk >> jnp.uint64(38)).astype(jnp.uint32)
+    lo = ((qk & jnp.uint64((1 << 38) - 1)) << jnp.uint64(26)) | idx
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    sq = (shi.astype(jnp.uint64) << jnp.uint64(38)) \
+        | (slo >> jnp.uint64(26))
+    sidx = (slo & jnp.uint64((1 << 26) - 1)).astype(jnp.int32)
+    sq = jnp.where(sq == SENTINEL, never, sq)  # pads: never match
+
+    qhi = (sq >> jnp.uint64(32)).astype(jnp.int32)[:, None]
+    qlo = sq.astype(jnp.int32)[:, None]
+
+    nt = sq.shape[0] // TILE
+    tile_min = sq[::TILE]
+    tile_max = sq[TILE - 1::TILE]
+    b_idx = jnp.searchsorted(tkeys, tile_min, side="left")
+    h_idx = jnp.searchsorted(tkeys, tile_max, side="right")
+    tchunks = max((tkeys.shape[0] + TILE - 1) // TILE, 1)
+    base = jnp.minimum(b_idx // TILE, tchunks - 1).astype(jnp.int32)
+    last = jnp.clip((h_idx - 1) // TILE, base, tchunks - 1) \
+        .astype(jnp.int32)
+    nch = jnp.where(h_idx > b_idx, last - base + 1, 0).astype(jnp.int32)
+    del nt  # tile count is implied by sq's padded length
+    return sq, sidx, qhi, qlo, base, nch
+
+
+@jax.jit
+def _probe_post(out, sidx):
+    """Unpack limb rows and restore original query order."""
+    qpad = out.shape[1]
+    # perm[original position] = sorted position
+    v = (sidx.astype(jnp.uint64) << jnp.uint64(26)) \
+        | jnp.arange(qpad, dtype=jnp.uint64)
+    perm = (jax.lax.sort(v) & jnp.uint64((1 << 26) - 1)).astype(jnp.int32)
+    rows = jnp.take(out.T, perm, axis=0, unique_indices=True)  # [qpad,32]
+    lo16 = rows[:, :PCOL].astype(jnp.uint32)
+    hi16 = rows[:, PCOL:].astype(jnp.uint32)
+    vals = lo16 | (hi16 << jnp.uint32(16))
+    found = vals[:, 15] > 0
+    cov = jnp.where(found, vals[:, 0], 0)
+    fw = jnp.where(found[:, None], vals[:, 1:5], 0)
+    bw = jnp.where(found[:, None], vals[:, 5:9], 0)
+    return found, cov, fw, bw
+
+
+_probe_tbl_cache = {}
+
+
+def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
+    """Streaming-merge drop-in for ops.kmers.probe_merge (same
+    contract: found/cov/fw/bw in query order).  Host-level wrapper:
+    reads back the max chunk span to pick the static grid depth."""
+    import jax.numpy as jnp  # noqa: F811  (kept local for clarity)
+
+    q = qkeys.shape[0]
+    sq, sidx, qhi, qlo, base, nch = _probe_prep(tkeys, qkeys)
+    dmax = int(jnp.max(nch))
+    dmax = max(1, 1 << int(np.ceil(np.log2(max(dmax, 1)))))
+
+    # reuse the packed table across windows of the same probe pass
+    # (identity-checked on the live array object, so a recycled id()
+    # can never alias a different table)
+    cached = _probe_tbl_cache.get("entry")
+    if cached is not None and cached[0] is tkeys:
+        thi, tlo, pay = cached[1]
+    else:
+        thi, tlo, pay = _pack_table(tkeys, cov, fw, bw)
+        _probe_tbl_cache["entry"] = (tkeys, (thi, tlo, pay))
+
+    nq_tiles = sq.shape[0] // TILE
+    out = _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                     base=base, nch=nch)
+    found, pcov, pfw, pbw = _probe_post(out, sidx)
+    return found[:q], pcov[:q], pfw[:q], pbw[:q]
+
+
+@jax.jit
+def _pack_table(tkeys, cov, fw, bw):
+    t = tkeys.shape[0]
+    tpad = (-t) % TILE
+    tk = jnp.concatenate(
+        [tkeys, jnp.full((tpad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    thi = (tk >> jnp.uint64(32)).astype(jnp.int32)[None, :]
+    tlo = tk.astype(jnp.int32)[None, :]
+    z = jnp.zeros((t + tpad,), jnp.uint32)
+
+    def ext(a):
+        return jnp.concatenate([a, jnp.zeros((tpad,), jnp.uint32)])
+
+    rows = ([ext(cov)] + [ext(fw[:, w]) for w in range(4)]
+            + [ext(bw[:, w]) for w in range(4)]
+            + [z] * 6 + [jnp.ones((t + tpad,), jnp.uint32)])
+    pay = jnp.stack(rows, axis=0).astype(jnp.int32)  # [PCOL, tpad]
+    return thi, tlo, pay

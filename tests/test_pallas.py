@@ -33,3 +33,104 @@ def test_pallas_count_matches_xla(seed, n, nbases, badp, k):
     for a, b in zip(ref[:4], got[:4]):
         assert np.array_equal(np.asarray(a[:n_ref]),
                               np.asarray(b[:n_ref]))
+
+
+def _rand_table(rng, t, kbits=42):
+    tkeys = np.unique(rng.integers(0, 1 << kbits, t).astype(np.uint64))
+    t = len(tkeys)
+    cov = rng.integers(0, 1 << 32, t, dtype=np.uint64).astype(np.uint32)
+    fw = rng.integers(0, 1 << 32, (t, 4), dtype=np.uint64).astype(np.uint32)
+    bw = rng.integers(0, 1 << 32, (t, 4), dtype=np.uint64).astype(np.uint32)
+    return tkeys, cov, fw, bw
+
+
+@pytest.mark.parametrize("seed,t,q,hit_frac", [
+    (0, 2000, 700, 0.5),    # mixed hits/misses, unaligned sizes
+    (1, 5, 1500, 0.9),      # tiny table, duplicate-heavy queries
+    (2, 4000, 3, 0.3),      # tiny query batch
+    (3, 3000, 1024, 0.0),   # all-miss
+    (4, 3000, 1024, 1.0),   # all-hit
+])
+def test_pallas_probe_matches_merge(seed, t, q, hit_frac):
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import probe_merge
+    from kreeq_tpu.ops.pallas_kernels import probe_merge_pallas
+
+    rng = np.random.default_rng(seed)
+    tkeys, cov, fw, bw = _rand_table(rng, t)
+    nhit = int(q * hit_frac)
+    qk = np.concatenate([
+        rng.choice(tkeys, nhit),
+        rng.integers(0, 1 << 42, q - nhit).astype(np.uint64),
+    ])
+    rng.shuffle(qk)
+    if q >= 3:  # sentinel (invalid) queries must come back not-found
+        qk[q // 2] = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    args = (jnp.asarray(tkeys), jnp.asarray(cov), jnp.asarray(fw),
+            jnp.asarray(bw), jnp.asarray(qk))
+    ref = probe_merge(*args)
+    got = probe_merge_pallas(*args)
+    for name, a, b in zip(("found", "cov", "fw", "bw"), ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pallas_probe_sentinel_padded_table():
+    """count_sorted-style tables carry a SENTINEL-padded tail; padding
+    must never match and spans must stay exact."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import SENTINEL, probe_merge
+    from kreeq_tpu.ops.pallas_kernels import probe_merge_pallas
+
+    rng = np.random.default_rng(7)
+    tkeys, cov, fw, bw = _rand_table(rng, 900)
+    pad = 1024 - len(tkeys)
+    tkeys = np.concatenate([tkeys,
+                            np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
+    cov = np.concatenate([cov, np.zeros(pad, np.uint32)])
+    fw = np.concatenate([fw, np.zeros((pad, 4), np.uint32)])
+    bw = np.concatenate([bw, np.zeros((pad, 4), np.uint32)])
+    qk = np.concatenate([rng.choice(tkeys[:900], 300),
+                         rng.integers(0, 1 << 42, 200).astype(np.uint64),
+                         np.full(8, 0xFFFFFFFFFFFFFFFF, np.uint64)])
+    rng.shuffle(qk)
+    args = (jnp.asarray(tkeys), jnp.asarray(cov), jnp.asarray(fw),
+            jnp.asarray(bw), jnp.asarray(qk))
+    ref = probe_merge(*args)
+    got = probe_merge_pallas(*args)
+    assert int(np.asarray(got[0]).sum()) > 0
+    for name, a, b in zip(("found", "cov", "fw", "bw"), ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+    assert SENTINEL is not None
+
+
+def test_pallas_probe_skewed_spans():
+    """Clustered queries against a clustered table: exercises large
+    dmax and zero-span tiles in the same call."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import probe_merge
+    from kreeq_tpu.ops.pallas_kernels import probe_merge_pallas
+
+    rng = np.random.default_rng(11)
+    dense = np.arange(0, 20000, dtype=np.uint64)  # dense cluster
+    sparse = rng.integers(1 << 40, 1 << 42, 500).astype(np.uint64)
+    tkeys = np.unique(np.concatenate([dense, sparse]))
+    t = len(tkeys)
+    cov = rng.integers(1, 100, t).astype(np.uint32)
+    fw = rng.integers(0, 100, (t, 4)).astype(np.uint32)
+    bw = rng.integers(0, 100, (t, 4)).astype(np.uint32)
+    # one query tile spans the whole dense cluster; others hit nothing
+    qk = np.concatenate([
+        rng.integers(0, 20000, 300).astype(np.uint64),
+        rng.integers(1 << 43, 1 << 44, 800).astype(np.uint64),
+    ])
+    rng.shuffle(qk)
+    args = (jnp.asarray(tkeys), jnp.asarray(cov), jnp.asarray(fw),
+            jnp.asarray(bw), jnp.asarray(qk))
+    ref = probe_merge(*args)
+    got = probe_merge_pallas(*args)
+    for name, a, b in zip(("found", "cov", "fw", "bw"), ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
