@@ -96,9 +96,14 @@ class DBG:
         out = out or sys.stdout
         if not self.ui.in_sequence:
             return
+        import os
+
         import jax.numpy as jnp
 
-        from ..ops.validate import validate_positions
+        from ..ops.validate import (validate_positions,
+                                    validate_positions_pallas)
+
+        use_pallas = os.environ.get("KREEQ_TPU_PALLAS") == "1"
 
         k = self.k
         self.tracks = []
@@ -153,11 +158,17 @@ class DBG:
                 buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
                 if b < kcount:
                     buf[lead + (b - a) + k - 1] = codes[b + k - 1]
-                (valid, missing, edge_missing, cov, isfw, right,
-                 left) = validate_positions(tkeys, tcov, tfw, tbw, starts,
-                                            jnp.asarray(buf), k,
-                                            self.ui.cov_cutoff, bits,
-                                            rounds, use_merge)
+                if use_pallas and len(self.table):
+                    (valid, missing, edge_missing, cov, isfw, right,
+                     left) = validate_positions_pallas(
+                         tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
+                         self.ui.cov_cutoff)
+                else:
+                    (valid, missing, edge_missing, cov, isfw, right,
+                     left) = validate_positions(tkeys, tcov, tfw, tbw,
+                                                starts, jnp.asarray(buf),
+                                                k, self.ui.cov_cutoff,
+                                                bits, rounds, use_merge)
                 sl = slice(lead, lead + (b - a))
                 self.tot_missing += int(np.asarray(missing[sl]).sum())
                 self.tot_edge_missing += int(

@@ -23,29 +23,12 @@ import jax.numpy as jnp
 from .kmers import kmer_positions, probe_bucketed, probe_merge
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
-def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
-                       cutoff: int, bits: int, rounds: int,
-                       use_merge: bool = False):
-    """codes: uint8[N] one segment (BAD-padded to a bucket size).
-
-    Returns per-position arrays of length P = N - k + 1:
-      valid, missing, edge_missing (bool), cov u32, isfw bool,
-      right u32, left u32.
-
-    use_merge selects the gather-free sort-merge probe, which wins
-    whenever the table is not much larger than the window (the caller
-    decides — see KmerTable.probe for the heuristic).
-    """
+def _classify(codes, k: int, cutoff: int, isfw, valid, found, cov, fw,
+              bw):
+    """Per-base QV classification given probe results (traced inside
+    both the fused XLA path and the Pallas-probe path)."""
     n = codes.shape[0]
     p = n - k + 1
-    keys, isfw, _edges, valid = kmer_positions(codes, k)
-    if use_merge:
-        found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw, keys)
-    else:
-        found, cov, fw, bw = probe_bucketed(tkeys, tcov, tfw, tbw,
-                                            starts, keys, k, bits,
-                                            rounds)
     found = found & valid
 
     nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
@@ -84,3 +67,55 @@ def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
     right = jnp.where(missing, 0, right)
     left = jnp.where(missing, 0, left)
     return valid, missing, edge_missing, cov, isfw, right, left
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
+def validate_positions(tkeys, tcov, tfw, tbw, starts, codes, k: int,
+                       cutoff: int, bits: int, rounds: int,
+                       use_merge: bool = False):
+    """codes: uint8[N] one segment (BAD-padded to a bucket size).
+
+    Returns per-position arrays of length P = N - k + 1:
+      valid, missing, edge_missing (bool), cov u32, isfw bool,
+      right u32, left u32.
+
+    use_merge selects the gather-free sort-merge probe, which wins
+    whenever the table is not much larger than the window (the caller
+    decides — see KmerTable.probe for the heuristic).
+    """
+    keys, isfw, _edges, valid = kmer_positions(codes, k)
+    if use_merge:
+        found, cov, fw, bw = probe_merge(tkeys, tcov, tfw, tbw, keys)
+    else:
+        found, cov, fw, bw = probe_bucketed(tkeys, tcov, tfw, tbw,
+                                            starts, keys, k, bits,
+                                            rounds)
+    return _classify(codes, k, cutoff, isfw, valid, found, cov, fw, bw)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _extract(codes, k: int):
+    return kmer_positions(codes, k)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _classify_jit(codes, probe, k: int, cutoff: int, isfw=None,
+                  valid=None):
+    found, cov, fw, bw = probe
+    return _classify(codes, k, cutoff, isfw, valid, found, cov, fw, bw)
+
+
+def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
+                              cutoff: int):
+    """validate_positions with the probe running through the Pallas
+    streaming merge kernel (ops/pallas_kernels.probe_merge_pallas).
+
+    Host-level: the kernel wrapper reads back the max table-chunk span
+    per query tile to pick its static grid depth, so this cannot live
+    inside one jit.  Same outputs as validate_positions.
+    """
+    from .pallas_kernels import probe_merge_pallas
+
+    keys, isfw, _edges, valid = _extract(codes, k)
+    probe = probe_merge_pallas(tkeys, tcov, tfw, tbw, keys)
+    return _classify_jit(codes, probe, k, cutoff, isfw=isfw, valid=valid)

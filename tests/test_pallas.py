@@ -134,3 +134,33 @@ def test_pallas_probe_skewed_spans():
     got = probe_merge_pallas(*args)
     for name, a, b in zip(("found", "cov", "fw", "bw"), ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
+def test_pallas_validate_path_golden(monkeypatch):
+    """Full validate pipeline with the Pallas probe (interpret mode)
+    must match golden test.0 byte-for-byte."""
+    import contextlib
+    import io
+    import os
+    import shlex
+
+    from .conftest import REFERENCE, reference_available
+    if not reference_available():
+        pytest.skip("reference corpus not present")
+
+    monkeypatch.setenv("KREEQ_TPU_PALLAS", "1")
+    from kreeq_tpu.cli.main import run
+
+    tst = os.path.join(REFERENCE, "validateFiles", "test.0.tst")
+    with open(tst) as fh:
+        lines = fh.read().splitlines()
+    cmd, golden = lines[0], "\n".join(lines[2:])
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(REFERENCE)
+        with contextlib.redirect_stdout(buf):
+            run(shlex.split(cmd))
+    finally:
+        os.chdir(cwd)
+    assert buf.getvalue().rstrip("\n") == golden.rstrip("\n")
