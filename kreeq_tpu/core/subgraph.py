@@ -224,15 +224,14 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
         qbuf[:ckeys.size] = ckeys
         found, cov, fw, bw = table.probe(qbuf)
         hit = np.nonzero(found[:ckeys.size])[0]
-        new: Dict[int, SubNode] = {}
-        for i in hit:
-            node = SubNode(list(map(int, fw[i])), list(map(int, bw[i])),
-                           int(cov[i]), 0)
-            new[int(ckeys[i])] = node
-            candidates.setdefault(int(ckeys[i]), node)
         fkeys = ckeys[hit]
         ffw = fw[hit]
         fbw = bw[hit]
+        # bulk .tolist() conversions: one C-level pass instead of a
+        # Python int() per field
+        for key, fwl, bwl, c in zip(fkeys.tolist(), ffw.tolist(),
+                                    fbw.tolist(), cov[hit].tolist()):
+            candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
     for key, node in candidates.items():
         sub.setdefault(key, node)
 
