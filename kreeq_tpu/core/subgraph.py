@@ -103,18 +103,17 @@ def extract_subgraph(dbg) -> Dict[int, SubNode]:
         pos = pos[np.sort(first)]
 
         seg_map: Dict[int, SubNode] = {}
-        for p in pos:
-            key = int(keys[p])
-            if found[p]:
-                seg_map[key] = SubNode(list(map(int, fw[p])),
-                                       list(map(int, bw[p])),
-                                       int(cov[p]), 1)
+        # bulk .tolist(): one C-level pass instead of per-field int()
+        for key, isf, fwr, bwr, c, e in zip(
+                keys[pos].tolist(), found[pos].tolist(),
+                fw[pos].tolist(), bw[pos].tolist(),
+                cov[pos].tolist(), edges[pos].tolist()):
+            if isf:
+                seg_map[key] = SubNode(fwr, bwr, c, 1)
             elif not ui.no_reference:
-                e = int(edges[p])
-                node = SubNode([(e >> w) & 1 for w in range(4)],
-                               [(e >> (4 + w)) & 1 for w in range(4)],
-                               1, 2)
-                seg_map[key] = node
+                seg_map[key] = SubNode(
+                    [(e >> w) & 1 for w in range(4)],
+                    [(e >> (4 + w)) & 1 for w in range(4)], 1, 2)
         for key, node in seg_map.items():
             tgt = merged.get(key)
             if tgt is None:
