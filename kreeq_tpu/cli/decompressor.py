@@ -13,6 +13,8 @@ import struct
 import sys
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 
 class BkwigIndex:
     def __init__(self) -> None:
@@ -52,37 +54,36 @@ def read_index(data: bytes, off: int, idx: BkwigIndex) -> int:
 
 
 def _print_triples(values, out) -> None:
-    parts = []
-    comma = 0
-    for v in values:
-        parts.append(str(v))
-        if comma < 2:
-            parts.append(",")
-            comma += 1
-        else:
-            parts.append("\n")
-            comma = 0
-    out.write("".join(parts))
+    arr = np.asarray(values, np.uint32).reshape(-1, 3)
+    if arr.shape[0] == 0:
+        return
+    cells = arr.astype(str)
+    rows = cells[:, 0]
+    for c in range(1, 3):
+        rows = np.char.add(np.char.add(rows, ","), cells[:, c])
+    out.write("\n".join(rows.tolist()))
+    out.write("\n")
 
 
-def _expand_rows(header: str, abs_pos: int, triples, k: int, out) -> None:
+def _expand_rows(header: str, abs_pos: int, vals, k: int, out,
+                 init=None) -> None:
     """Sliding-window expansion (reference:
-    src/decompressor.cpp:532-580)."""
-    kmer = [0] * (k - 1)
-    efw = [0] * (k - 1)
-    ebw = [0] * (k - 1)
-    for cov, fw, bw in triples:
-        kmer.append(cov)
-        efw.append(fw)
-        ebw.append(bw)
-        out.write(f"{header},{abs_pos},"
-                  + ",".join(str(v) for v in kmer) + ","
-                  + ",".join(str(v) for v in efw) + ","
-                  + ",".join(str(v) for v in ebw) + "\n")
-        kmer.pop(0)
-        efw.pop(0)
-        ebw.pop(0)
-        abs_pos += 1
+    src/decompressor.cpp:532-580).  `init` optionally seeds the three
+    k-1-deep windows (lookup's span-context priming); strings are
+    converted once per value instead of once per covering window."""
+    arr = np.asarray(vals, np.uint32).reshape(-1, 3)
+    tracks = []
+    for c in range(3):
+        ini = (np.zeros(k - 1, np.uint32) if init is None
+               else np.asarray(init[c], np.uint32))
+        tracks.append([str(v) for v in
+                       np.concatenate([ini, arr[:, c]]).tolist()])
+    covs, efws, ebws = tracks
+    for i in range(arr.shape[0]):
+        out.write(f"{header},{abs_pos + i},"
+                  + ",".join(covs[i:i + k]) + ","
+                  + ",".join(efws[i:i + k]) + ","
+                  + ",".join(ebws[i:i + k]) + "\n")
 
 
 def inflate(data: bytes, idx: BkwigIndex, expand: bool, out) -> None:
@@ -93,15 +94,14 @@ def inflate(data: bytes, idx: BkwigIndex, expand: bool, out) -> None:
             out.write("Error: file truncated\n")
             sys.exit(1)
         for _bp, abs_pos, ln, step in idx.paths[header]:
-            vals = struct.unpack_from(f"<{ln * 3}I", data, off)
+            vals = np.frombuffer(data, "<u4", ln * 3, off)
             off += 12 * ln
             if not expand:
                 out.write(f"fixedStep chrom={header} start={abs_pos} "
                           f"step={step}\n")
                 _print_triples(vals, out)
             else:
-                triples = [vals[i:i + 3] for i in range(0, len(vals), 3)]
-                _expand_rows(header, abs_pos, triples, idx.k, out)
+                _expand_rows(header, abs_pos, vals, idx.k, out)
 
 
 def lookup(data: bytes, idx: BkwigIndex, header: str,
@@ -138,33 +138,16 @@ def lookup(data: bytes, idx: BkwigIndex, header: str,
             if offset < init_offset:
                 offset = init_offset
                 p = k - start  # reference keeps this ("this is wrong")
-            pre = struct.unpack_from(f"<{p * 3}I", data, offset)
+            pre = np.frombuffer(data, "<u4", p * 3, offset).reshape(-1, 3)
             offset += p * 12
-            kmer = [0] * (k - 1)
-            efw = [0] * (k - 1)
-            ebw = [0] * (k - 1)
-            for i in range(p):
-                kmer.append(pre[3 * i])
-                efw.append(pre[3 * i + 1])
-                ebw.append(pre[3 * i + 2])
-                kmer.pop(0)
-                efw.pop(0)
-                ebw.pop(0)
-            vals = struct.unpack_from(f"<{ln * 3}I", data, offset)
-            triples = [vals[i:i + 3] for i in range(0, len(vals), 3)]
-            abs_pos = start
-            for cov, fw, bw in triples:
-                kmer.append(cov)
-                efw.append(fw)
-                ebw.append(bw)
-                out.write(f"{header},{abs_pos},"
-                          + ",".join(str(v) for v in kmer) + ","
-                          + ",".join(str(v) for v in efw) + ","
-                          + ",".join(str(v) for v in ebw) + "\n")
-                kmer.pop(0)
-                efw.pop(0)
-                ebw.pop(0)
-                abs_pos += 1
+            # prime the k-1-deep windows with the span context
+            init = []
+            for c in range(3):
+                stream = np.concatenate(
+                    [np.zeros(k - 1, np.uint32), pre[:, c]])
+                init.append(stream[len(stream) - (k - 1):])
+            vals = np.frombuffer(data, "<u4", ln * 3, offset)
+            _expand_rows(header, start, vals, k, out, init=init)
         out.write("\n")
 
 
