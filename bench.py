@@ -19,8 +19,28 @@ import time
 import numpy as np
 
 
+def _device_available(timeout_s: int = 120) -> bool:
+    """Probe backend init in a subprocess: a downed TPU tunnel hangs
+    jax.devices() forever, which would otherwise hang the whole bench."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     import jax
+
+    if not _device_available():
+        # fall back to CPU so the round still records a bench artifact
+        # (value is not comparable to TPU rounds; device field says so)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import kreeq_tpu  # noqa: F401  (x64)
