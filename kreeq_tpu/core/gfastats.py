@@ -85,17 +85,24 @@ def report_stats_lines(genome: Genome) -> List[str]:
 
     seg_by_uid = {s.uid: s for s in genome.segments}
     bubbles = 0
-    uids = [s.uid for s in genome.segments]
-    for a in range(len(uids)):
-        for b in range(a + 1, len(uids)):
-            u, v = uids[a], uids[b]
-            if not (adjacency[u] and adjacency[u] == adjacency[v]
-                    and seg_len[u] == seg_len[v]
-                    and u not in adjacency[v]):
-                continue
-            sa, sb = seg_by_uid[u].seq, seg_by_uid[v].seq
-            if min(hamming(sa, sb), hamming(sa, revcom(sb))) == 1:
-                bubbles += 1
+    # group by (neighbour set, length): candidate arm pairs must agree
+    # on both, so only within-group pairs need the hamming check —
+    # O(n) grouping instead of an O(n^2) all-pairs scan
+    groups: Dict[tuple, List[int]] = {}
+    for s in genome.segments:
+        u = s.uid
+        if adjacency[u]:
+            groups.setdefault(
+                (frozenset(adjacency[u]), seg_len[u]), []).append(u)
+    for members in groups.values():
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                u, v = members[a], members[b]
+                if u in adjacency[v]:
+                    continue
+                sa, sb = seg_by_uid[u].seq, seg_by_uid[v].seq
+                if min(hamming(sa, sb), hamming(sa, revcom(sb))) == 1:
+                    bubbles += 1
 
     circular_segments = sum(1 for e in genome.edges if e.sid1 == e.sid2)
 
