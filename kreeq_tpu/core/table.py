@@ -12,6 +12,7 @@ src/graph-builder.cpp:160-205).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, Optional, Tuple
 
@@ -426,7 +427,12 @@ class KmerTable:
                     np.zeros((len(q), 4), np.uint32))
         tkeys, cov, fw, bw = self.device_arrays()
         q = jnp.asarray(qkeys)
-        if tkeys.shape[0] <= 6 * q.shape[0]:
+        if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+            from ..ops.pallas_kernels import probe_merge_pallas
+
+            found, qcov, qfw, qbw = probe_merge_pallas(tkeys, cov, fw,
+                                                       bw, q)
+        elif tkeys.shape[0] <= 6 * q.shape[0]:
             # sort-merge join: cost ~ (t + q), beats the bisection's
             # per-round gathers whenever the table is not much larger
             # than the batch (219 ms vs 533 ms at t=8M, q=4M on v5e)
