@@ -256,3 +256,40 @@ def test_highcoverage_multichunk_retrim(tmp_path):
     assert np.array_equal(multi.fw, one.fw)
     assert np.array_equal(multi.bw, one.bw)
     assert multi.cov.max() >= 30
+
+
+def test_k32_boundary_oracle():
+    """k=32 uses all 64 key bits (reference allows 0 < k <= 32,
+    src/input.cpp:142-145); canonical keys can never collide with the
+    SENTINEL because min(x, revcomp(x)) of an all-ones key is 0."""
+    import collections
+
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import (count_sorted, kmer_positions,
+                                     probe_merge)
+
+    k = 32
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    keys, _isfw, edges, valid = kmer_positions(jnp.asarray(codes), k)
+    tk, cov, fw, bw, n = count_sorted(keys, edges, valid)
+    n = int(n)
+
+    def canon(sub):
+        fwd = rc = 0
+        for i, c in enumerate(sub):
+            fwd |= int(c) << (2 * i)
+            rc |= (3 - int(c)) << (2 * (k - 1 - i))
+        return min(fwd, rc)
+
+    cnt = collections.Counter(
+        canon(codes[p:p + k]) for p in range(len(codes) - k + 1))
+    tkn = [int(x) for x in np.asarray(tk)[:n].tolist()]
+    assert len(cnt) == n
+    assert sorted(cnt.keys()) == sorted(tkn)
+    covs = dict(zip(tkn, np.asarray(cov)[:n].tolist()))
+    assert all(covs[key] == c for key, c in cnt.items())
+
+    found, _c, _f, _b = probe_merge(tk, cov, fw, bw, keys)
+    assert bool(np.asarray(found & np.asarray(valid)).all())
