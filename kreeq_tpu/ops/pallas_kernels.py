@@ -405,6 +405,10 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
     import jax.numpy as jnp  # noqa: F811  (kept local for clarity)
 
     q = qkeys.shape[0]
+    if q > (1 << 26) - TILE:  # index rides in 26 bits of the sort key
+        from .kmers import probe_merge
+
+        return probe_merge(tkeys, cov, fw, bw, qkeys)
     sq, sidx, qhi, qlo, base, nch = _probe_prep(tkeys, qkeys)
     dmax = int(jnp.max(nch))
     dmax = max(1, 1 << int(np.ceil(np.log2(max(dmax, 1)))))
