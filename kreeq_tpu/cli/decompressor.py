@@ -54,15 +54,9 @@ def read_index(data: bytes, off: int, idx: BkwigIndex) -> int:
 
 
 def _print_triples(values, out) -> None:
-    arr = np.asarray(values, np.uint32).reshape(-1, 3)
-    if arr.shape[0] == 0:
-        return
-    cells = arr.astype(str)
-    rows = cells[:, 0]
-    for c in range(1, 3):
-        rows = np.char.add(np.char.add(rows, ","), cells[:, c])
-    out.write("\n".join(rows.tolist()))
-    out.write("\n")
+    from ..io.writers import write_csv_rows3
+
+    write_csv_rows3(values, out)
 
 
 def _expand_rows(header: str, abs_pos: int, vals, k: int, out,
@@ -138,6 +132,10 @@ def lookup(data: bytes, idx: BkwigIndex, header: str,
             if offset < init_offset:
                 offset = init_offset
                 p = k - start  # reference keeps this ("this is wrong")
+            if p < 0:  # np.frombuffer(-n) would silently read-all
+                raise ValueError(
+                    f"lookup span context underflows the data area "
+                    f"(p={p}); corrupt index or coordinates")
             pre = np.frombuffer(data, "<u4", p * 3, offset).reshape(-1, 3)
             offset += p * 12
             # prime the k-1-deep windows with the span context

@@ -116,7 +116,7 @@ class DBG:
             # window (see KmerTable.probe); the bucket index is only
             # built when the bisection path is taken
             use_merge = tkeys.shape[0] <= 6 * self.VALIDATE_WINDOW
-            if use_merge:
+            if use_merge or use_pallas:
                 bits, rounds = 8, 1
                 starts = jnp.zeros((1 << bits) + 1, jnp.int32)
             else:

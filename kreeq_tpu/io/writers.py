@@ -68,6 +68,20 @@ def print_table(dbg, ext: str, out: TextIO = None) -> None:
         out.close()
 
 
+def write_csv_rows3(cols, out) -> None:
+    """Write a [n,3] uint32 array as n 'a,b,c' lines (shared by the
+    kwig writer and the bkwig decompressor)."""
+    arr = np.asarray(cols, np.uint32).reshape(-1, 3)
+    if arr.shape[0] == 0:
+        return
+    cells = arr.astype(str)
+    rows = cells[:, 0]
+    for c in range(1, 3):
+        rows = np.char.add(np.char.add(rows, ","), cells[:, c])
+    out.write("\n".join(rows.tolist()))
+    out.write("\n")
+
+
 def print_kwig(dbg, out: TextIO = None) -> None:
     """fixedStep text track (reference: src/kreeq-output.cpp:243-303)."""
     close = False
@@ -77,15 +91,8 @@ def print_kwig(dbg, out: TextIO = None) -> None:
     out.write(f"{dbg.k}\n")
     for path, abs_pos, seg, track in _iter_path_segments(dbg):
         out.write(f"fixedStep chrom={path.header} start={abs_pos} step=1\n")
-        if len(track.cov) == 0:
-            continue
-        cells = np.stack([track.cov, track.right, track.left],
-                         axis=1).astype(str)
-        rows = cells[:, 0]
-        for c in range(1, 3):
-            rows = np.char.add(np.char.add(rows, ","), cells[:, c])
-        out.write("\n".join(rows.tolist()))
-        out.write("\n")
+        write_csv_rows3(
+            np.stack([track.cov, track.right, track.left], axis=1), out)
     if close:
         out.close()
 

@@ -266,7 +266,6 @@ def count_sorted_pallas(keys, edges, valid):
 
 PCOL = 16  # payload i32 rows: cov, fw0-3, bw0-3, zeros, row15 = 1
 LCOL = 32  # u16 limb rows (lo limbs 0-15, hi limbs 16-31)
-_NEVER32 = -2  # 0xFFFFFFFE: key halves no real/pad table row can have
 
 
 def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
@@ -362,7 +361,6 @@ def _probe_prep(tkeys, qkeys):
     qhi = (sq >> jnp.uint64(32)).astype(jnp.int32)[:, None]
     qlo = sq.astype(jnp.int32)[:, None]
 
-    nt = sq.shape[0] // TILE
     tile_min = sq[::TILE]
     tile_max = sq[TILE - 1::TILE]
     b_idx = jnp.searchsorted(tkeys, tile_min, side="left")
@@ -372,7 +370,6 @@ def _probe_prep(tkeys, qkeys):
     last = jnp.clip((h_idx - 1) // TILE, base, tchunks - 1) \
         .astype(jnp.int32)
     nch = jnp.where(h_idx > b_idx, last - base + 1, 0).astype(jnp.int32)
-    del nt  # tile count is implied by sq's padded length
     return sq, sidx, qhi, qlo, base, nch
 
 
@@ -405,6 +402,10 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
     import jax.numpy as jnp  # noqa: F811  (kept local for clarity)
 
     q = qkeys.shape[0]
+    if q == 0 or tkeys.shape[0] == 0:
+        z = jnp.zeros((q,), jnp.uint32)
+        z4 = jnp.zeros((q, 4), jnp.uint32)
+        return jnp.zeros((q,), bool), z, z4, z4
     if q > (1 << 26) - TILE:  # index rides in 26 bits of the sort key
         from .kmers import probe_merge
 
@@ -413,15 +414,20 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
     dmax = int(jnp.max(nch))
     dmax = max(1, 1 << int(np.ceil(np.log2(max(dmax, 1)))))
 
-    # reuse the packed table across windows of the same probe pass
-    # (identity-checked on the live array object, so a recycled id()
-    # can never alias a different table)
+    # reuse the packed table across windows of the same probe pass;
+    # the source table is held by weakref so a freed table releases
+    # its HBM (the packed copy is replaced on the next distinct probe)
+    import weakref
+
     cached = _probe_tbl_cache.get("entry")
-    if cached is not None and cached[0] is tkeys:
+    src = cached[0]() if cached is not None else None
+    if src is tkeys and src is not None:
         thi, tlo, pay = cached[1]
     else:
+        if cached is not None and src is None:
+            _probe_tbl_cache.clear()  # drop the stale packed copy now
         thi, tlo, pay = _pack_table(tkeys, cov, fw, bw)
-        _probe_tbl_cache["entry"] = (tkeys, (thi, tlo, pay))
+        _probe_tbl_cache["entry"] = (weakref.ref(tkeys), (thi, tlo, pay))
 
     nq_tiles = sq.shape[0] // TILE
     out = _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,

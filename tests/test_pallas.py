@@ -164,3 +164,23 @@ def test_pallas_validate_path_golden(monkeypatch):
     finally:
         os.chdir(cwd)
     assert buf.getvalue().rstrip("\n") == golden.rstrip("\n")
+
+
+def test_pallas_probe_empty_inputs():
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.pallas_kernels import probe_merge_pallas
+
+    rng = np.random.default_rng(3)
+    tkeys, cov, fw, bw = _rand_table(rng, 100)
+    # empty query batch
+    f, c, w, b = probe_merge_pallas(
+        jnp.asarray(tkeys), jnp.asarray(cov), jnp.asarray(fw),
+        jnp.asarray(bw), jnp.zeros((0,), jnp.uint64))
+    assert f.shape == (0,) and w.shape == (0, 4)
+    # empty table
+    f, c, w, b = probe_merge_pallas(
+        jnp.zeros((0,), jnp.uint64), jnp.zeros((0,), jnp.uint32),
+        jnp.zeros((0, 4), jnp.uint32), jnp.zeros((0, 4), jnp.uint32),
+        jnp.asarray(tkeys[:5]))
+    assert not bool(np.asarray(f).any())
