@@ -169,6 +169,16 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
 @partial(jax.jit, static_argnums=(3,))
 def _run_pallas(lo, hi, edges, grid: int):
     cap = grid * TILE + TILE + 384
+    # trace the kernel with x64 OFF: the package enables x64 globally,
+    # under which Python int constants in the kernel body become i64 —
+    # a type Mosaic cannot legalize on TPU ("failed to legalize
+    # operation 'func.return'"); every value here is explicitly
+    # i32/f32, so 32-bit tracing is semantically identical
+    with jax.enable_x64(False):
+        return _run_pallas_x32(lo, hi, edges, grid, cap)
+
+
+def _run_pallas_x32(lo, hi, edges, grid: int, cap: int):
     out, cnt = pl.pallas_call(
         _kernel,
         grid=(grid,),
@@ -296,6 +306,14 @@ def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
 @partial(jax.jit, static_argnums=(5, 6))
 def _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles: int, dmax: int,
                base=None, nch=None):
+    # x64 OFF for the same reason as _run_pallas: i64 from Python int
+    # promotion (index maps, kernel constants) does not legalize
+    with jax.enable_x64(False):
+        return _probe_run_x32(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                              base, nch)
+
+
+def _probe_run_x32(qhi, qlo, thi, tlo, pay, nq_tiles, dmax, base, nch):
     tchunks = thi.shape[1] // TILE
 
     def qmap(i, j, b, n):
