@@ -168,7 +168,7 @@ class KmerTable:
             # every new shape pair costs a full XLA compile
             a = _pad_part(_trim(stored)[:4], _pow2(int(stored[4])))
             b = _pad_part(fresh[:4], _pow2(fresh[0].shape[0]))
-            mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
+            mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
             return _async_part((mkeys, mcov, mfw, mbw), nm)
 
         def push(part):
@@ -236,7 +236,7 @@ class KmerTable:
         def merge(a, b):
             a = _pad_part(a, _pow2(a[0].shape[0]))
             b = _pad_part(b, _pow2(b[0].shape[0]))
-            mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
+            mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
             nm = int(nm)
             return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
 
@@ -343,7 +343,7 @@ class KmerTable:
         b = _pad_part((jnp.asarray(other.keys), jnp.asarray(other.cov),
                        jnp.asarray(other.fw), jnp.asarray(other.bw)),
                       _pow2(len(other)))
-        mkeys, mcov, mfw, mbw, n = K.merge_sorted(*a, *b)
+        mkeys, mcov, mfw, mbw, n = K.get_merge_sorted()(*a, *b)
         n = int(n)
         return KmerTable(self.k, *(np.asarray(a[:n]) for a in
                                    (mkeys, mcov, mfw, mbw)))

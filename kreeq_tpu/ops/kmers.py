@@ -337,6 +337,22 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     return okeys, out[:, 0], out[:, 1:5], out[:, 5:9], n
 
 
+def get_merge_sorted():
+    """Select the sorted-merge implementation.
+
+    KREEQ_TPU_PALLAS=1 selects the streaming Pallas merge kernel
+    (ops/pallas_kernels.merge_sorted_pallas) — one sequential pass
+    instead of a (na+nb)-element sort plus a compaction flag-sort.
+    Host-level only (it reads back the max chunk span per tile)."""
+    import os
+
+    if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+        from .pallas_kernels import merge_sorted_pallas
+
+        return merge_sorted_pallas
+    return merge_sorted
+
+
 @jax.jit
 def probe_merge(tkeys, cov, fw, bw, qkeys):
     """Batched lookup as a gather-free sort-merge join.

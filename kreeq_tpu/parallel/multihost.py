@@ -124,7 +124,7 @@ def build_table_distributed(read_files, k: int,
     def merge(a, b):
         a = _pad_part(a, _pow2(a[0].shape[0]))
         b = _pad_part(b, _pow2(b[0].shape[0]))
-        mkeys, mcov, mfw, mbw, nm = K.merge_sorted(*a, *b)
+        mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
         nm = int(nm)
         return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
 

@@ -72,6 +72,30 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"probe kernel FAIL: {type(e).__name__}: {str(e)[:300]}")
         rc = 1
+
+    na_t, mdmax, nbt = 8, 2, 8
+
+    def merge_fn(*a):
+        return PK._merge_run(*a, na_t, mdmax)
+
+    margs = [jax.ShapeDtypeStruct((na_t,), jnp.int32, sharding=ns)] * 4 + [
+        jax.ShapeDtypeStruct((1, na_t * PK.TILE), jnp.int32, sharding=ns),
+        jax.ShapeDtypeStruct((1, na_t * PK.TILE), jnp.int32, sharding=ns),
+        jax.ShapeDtypeStruct((PK.PCOL, na_t * PK.TILE), jnp.int32,
+                             sharding=ns),
+        jax.ShapeDtypeStruct((1, nbt * PK.TILE), jnp.int32, sharding=ns),
+        jax.ShapeDtypeStruct((1, nbt * PK.TILE), jnp.int32, sharding=ns),
+        jax.ShapeDtypeStruct((PK.PCOL, nbt * PK.TILE), jnp.int32,
+                             sharding=ns),
+    ]
+    ms = shard_map(merge_fn, mesh=mesh, in_specs=(P(),) * 10,
+                   out_specs=(P(), P()), check_rep=False)
+    try:
+        jax.jit(ms).lower(*margs).compile()
+        print("merge kernel: COMPILE OK")
+    except Exception as e:  # noqa: BLE001
+        print(f"merge kernel FAIL: {type(e).__name__}: {str(e)[:300]}")
+        rc = 1
     return rc
 
 

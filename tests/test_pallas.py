@@ -184,3 +184,101 @@ def test_pallas_probe_empty_inputs():
         jnp.zeros((0, 4), jnp.uint32), jnp.zeros((0, 4), jnp.uint32),
         jnp.asarray(tkeys[:5]))
     assert not bool(np.asarray(f).any())
+
+
+def _rand_merge_table(rng, n, kbits=40):
+    keys = np.unique(rng.integers(0, 1 << kbits, n).astype(np.uint64))
+    t = len(keys)
+    cov = rng.integers(0, 1 << 32, t, dtype=np.uint64).astype(np.uint32)
+    fw = rng.integers(0, 1 << 32, (t, 4), dtype=np.uint64).astype(np.uint32)
+    bw = rng.integers(0, 1 << 32, (t, 4), dtype=np.uint64).astype(np.uint32)
+    return keys, cov, fw, bw
+
+
+@pytest.mark.parametrize("na,nb,seed", [
+    (1500, 900, 1),     # disjoint-ish, multi-tile
+    (5, 3000, 8),       # tiny vs big
+    (400, 400, 10),     # dense duplicate ratio
+    (3000, 3000, 13),   # big
+])
+def test_pallas_merge_matches_xla(na, nb, seed):
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import merge_sorted
+    from kreeq_tpu.ops.pallas_kernels import merge_sorted_pallas
+
+    rng = np.random.default_rng(seed)
+    A = _rand_merge_table(rng, na)
+    B = _rand_merge_table(rng, nb, kbits=14 if na == nb else 40)
+    args = [jnp.asarray(x) for x in (*A, *B)]
+    ref = merge_sorted(*args)
+    got = merge_sorted_pallas(*args)
+    n = int(ref[4])
+    assert n == int(got[4])
+    for name, x, y in zip("kcfb", ref[:4], got[:4]):
+        assert np.array_equal(np.asarray(x)[:n], np.asarray(y)[:n]), name
+
+
+def test_pallas_merge_saturation_and_padding():
+    """Overlapping keys near LARGEST must saturate exactly; SENTINEL
+    input padding (pow2 table buffers) must not leak."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import merge_sorted
+    from kreeq_tpu.ops.pallas_kernels import merge_sorted_pallas
+
+    rng = np.random.default_rng(3)
+    ka, ca, fa, ba = _rand_merge_table(rng, 800)
+    kb = np.unique(np.concatenate(
+        [ka[::3], rng.integers(0, 1 << 40, 500).astype(np.uint64)]))
+    t = len(kb)
+    cb = np.full(t, 0xFFFFFFF0, np.uint32)
+    fb = rng.integers(0, 1 << 31, (t, 4), dtype=np.uint64).astype(np.uint32)
+    bb = rng.integers(0, 1 << 31, (t, 4), dtype=np.uint64).astype(np.uint32)
+
+    def padto(arrs, size):
+        k, c, f, b = arrs
+        pad = size - len(k)
+        return (np.concatenate(
+            [k, np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)]),
+            np.concatenate([c, np.zeros(pad, np.uint32)]),
+            np.concatenate([f, np.zeros((pad, 4), np.uint32)]),
+            np.concatenate([b, np.zeros((pad, 4), np.uint32)]))
+
+    A = padto((ka, ca, fa, ba), 1024)
+    B = padto((kb, cb, fb, bb), 2048)
+    args = [jnp.asarray(x) for x in (*A, *B)]
+    ref = merge_sorted(*args)
+    got = merge_sorted_pallas(*args)
+    n = int(ref[4])
+    assert n == int(got[4])
+    for name, x, y in zip("kcfb", ref[:4], got[:4]):
+        assert np.array_equal(np.asarray(x)[:n], np.asarray(y)[:n]), name
+
+
+def test_pallas_union_cli_golden(monkeypatch):
+    """`kreeq union` through the Pallas merge matches golden test.35."""
+    import contextlib
+    import io
+    import os
+    import shlex
+
+    from .conftest import REFERENCE, reference_available
+    if not reference_available():
+        pytest.skip("reference corpus not present")
+    monkeypatch.setenv("KREEQ_TPU_PALLAS", "1")
+    from kreeq_tpu.cli.main import run
+
+    tst = os.path.join(REFERENCE, "validateFiles", "test.35.tst")
+    with open(tst) as fh:
+        lines = fh.read().splitlines()
+    cmd, golden = lines[0], "\n".join(lines[2:])
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(REFERENCE)
+        with contextlib.redirect_stdout(buf):
+            run(shlex.split(cmd))
+    finally:
+        os.chdir(cwd)
+    assert buf.getvalue().rstrip("\n") == golden.rstrip("\n")
