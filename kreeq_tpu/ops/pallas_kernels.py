@@ -876,3 +876,48 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
                           bhir, blor, bpayr, na_t, dmax)
     keys, cov, fw, bw, n = _merge_post(out, cnt, p)
     return keys[:p], cov[:p], fw[:p], bw[:p], n
+
+
+def count_sorted_split(keys, edges, valid, nsplit: int):
+    """count_sorted as nsplit independent sub-sorts reduced by the
+    streaming merge kernel.
+
+    XLA's TPU sort is superlinear past VMEM-friendly sizes (measured:
+    2x8M-base steps = 614 ms vs 1169 ms for one 16M step), so S small
+    sorts + S-1 sequential-pass merges can beat one monolithic sort.
+    Same contract as ops.kmers.count_sorted; the split count is an
+    on-chip tuning knob (KREEQ_TPU_COUNT_SPLIT).
+    """
+    from .kmers import count_sorted
+
+    p = keys.shape[0]
+    m = -(-p // nsplit)
+    parts = []
+    for i in range(nsplit):
+        lo = i * m
+        hi = min(p, lo + m)
+        if lo >= hi:
+            break
+        parts.append(count_sorted(keys[lo:hi], edges[lo:hi],
+                                  valid[lo:hi]))
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            a, b = parts[i], parts[i + 1]
+            nxt.append(merge_sorted_pallas(a[0], a[1], a[2], a[3],
+                                           b[0], b[1], b[2], b[3]))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    k, c, f, b, n = parts[0]
+    # match count_sorted's output length contract (one row per record)
+    if k.shape[0] < p:
+        import jax.numpy as jnp
+
+        pad = p - k.shape[0]
+        k = jnp.concatenate([k, jnp.full((pad,), 0xFFFFFFFFFFFFFFFF,
+                                         jnp.uint64)])
+        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.uint32)])
+        f = jnp.concatenate([f, jnp.zeros((pad, 4), jnp.uint32)])
+        b = jnp.concatenate([b, jnp.zeros((pad, 4), jnp.uint32)])
+    return k[:p], c[:p], f[:p], b[:p], n

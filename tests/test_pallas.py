@@ -282,3 +282,23 @@ def test_pallas_union_cli_golden(monkeypatch):
     finally:
         os.chdir(cwd)
     assert buf.getvalue().rstrip("\n") == golden.rstrip("\n")
+
+
+@pytest.mark.parametrize("seed,n,k,split", [(0, 30000, 21, 4),
+                                            (1, 20000, 31, 3)])
+def test_count_sorted_split_matches(seed, n, k, split):
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import count_sorted, kmer_positions
+    from kreeq_tpu.ops.pallas_kernels import count_sorted_split
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    codes[rng.random(n) < 0.02] = 4
+    keys, _i, edges, valid = kmer_positions(jnp.asarray(codes), k)
+    ref = count_sorted(keys, edges, valid)
+    got = count_sorted_split(keys, edges, valid, split)
+    nr = int(ref[4])
+    assert nr == int(got[4])
+    for a, b in zip(ref[:4], got[:4]):
+        assert np.array_equal(np.asarray(a)[:nr], np.asarray(b)[:nr])
