@@ -248,15 +248,17 @@ def get_count_sorted():
     """
     import os
 
-    split = int(os.environ.get("KREEQ_TPU_COUNT_SPLIT", "0"))
-    if split > 1:
-        from .pallas_kernels import count_sorted_split
-
-        def split_fn(keys, edges, valid):
-            return count_sorted_split(keys, edges, valid, split)
-
-        return split_fn
     if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+        # split-count rides the same gate: it reduces with the Pallas
+        # merge kernel, so it must never run where Pallas cannot
+        split = int(os.environ.get("KREEQ_TPU_COUNT_SPLIT", "0"))
+        if split > 1:
+            from .pallas_kernels import count_sorted_split
+
+            def split_fn(keys, edges, valid):
+                return count_sorted_split(keys, edges, valid, split)
+
+            return split_fn
         from .pallas_kernels import count_sorted_pallas
 
         def guarded(keys, edges, valid):

@@ -429,8 +429,7 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
 
         return probe_merge(tkeys, cov, fw, bw, qkeys)
     sq, sidx, qhi, qlo, base, nch = _probe_prep(tkeys, qkeys)
-    dmax = int(jnp.max(nch))
-    dmax = max(1, 1 << int(np.ceil(np.log2(max(dmax, 1)))))
+    dmax = _grid_depth(nch)
 
     # reuse the packed table across windows of the same probe pass;
     # the source table is held by weakref so a freed table releases
@@ -499,6 +498,13 @@ def _pack_table(tkeys, cov, fw, bw):
 # forbids).
 
 MROW = 24  # output rows: 4 key u16 limbs + 18 payload limbs + pad
+
+
+def _grid_depth(nch) -> int:
+    """Host readback of max(nch), bucketed to a power of two so the
+    static grid depth recompiles only on bucket changes."""
+    d = int(jnp.max(nch)) if nch.shape[0] else 1
+    return max(1, 1 << int(np.ceil(np.log2(max(d, 1)))))
 _BIAS = -(1 << 31)  # signed<->unsigned order bias for key halves
 _SENT_BIASED = (1 << 31) - 1  # 0xFFFFFFFF after the bias (u32^0x80000000)
 
@@ -506,15 +512,6 @@ _SENT_BIASED = (1 << 31) - 1  # 0xFFFFFFFF after the bias (u32^0x80000000)
 def _key_lt(ahi, alo, bhi, blo):
     """Lexicographic compare of biased (hi, lo) key halves."""
     return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
-
-
-def _cumsum_lanes(x):
-    """Inclusive prefix sum along 256 lanes of [1, TILE] f32 (MXU)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
-    upper = (r <= c).astype(jnp.float32)
-    return jax.lax.dot_general(x, upper, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
 
 
 def _limbs4(khi, klo):
@@ -720,7 +717,10 @@ def _merge_kernel(first_ref, nch_ref, blo_ref, bhi_ref,
         wk = jnp.where(dead & (rowi >= 4), jnp.float32(0), wk)
         w_ref[:, :] = wk
 
-    @pl.when(j == dmax)
+    # tiles WITH a span already emitted everything (is_last forces
+    # e_pos = n2), so the final W flush is only needed for span-less
+    # tiles — skipping it saves a no-op compaction + DMA per tile
+    @pl.when((j == dmax) & (nch_ref[i] == 0))
     def _():
         wkhi, wklo = _keys_from_limbs(w_ref[0:4, :])
         sent2 = jnp.int32(_SENT_BIASED)
@@ -734,9 +734,9 @@ def _merge_kernel(first_ref, nch_ref, blo_ref, bhi_ref,
             [live, jnp.zeros((1, TILE), bool)], axis=1)
         flush(rows, live2)
 
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _():
-            cnt_ref[0, 0] = carry_ref[0] + carry_ref[1]
+    @pl.when((j == dmax) & (i == pl.num_programs(0) - 1))
+    def _():
+        cnt_ref[0, 0] = carry_ref[0] + carry_ref[1]
 
 
 @partial(jax.jit, static_argnums=(10, 11))
@@ -843,8 +843,7 @@ def _merge_pack(ka, cov, fw, bw, reverse: bool = False):
 
 
 @jax.jit
-def _merge_post(out, cnt, p: int):
-    del p
+def _merge_post(out, cnt):
     rows = out.T  # [cap, MROW]
     n = cnt[0, 0].astype(jnp.uint32)
     live = (jnp.arange(rows.shape[0], dtype=jnp.uint32) < n)
@@ -867,14 +866,13 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
     adds, SENTINEL tail, plus the real count)."""
     p = keys_a.shape[0] + keys_b.shape[0]
     ka, kb, first, nch, b_lo, b_hi = _merge_prep(keys_a, keys_b)
-    dmax = int(jnp.max(nch))
-    dmax = max(1, 1 << int(np.ceil(np.log2(max(dmax, 1)))))
+    dmax = _grid_depth(nch)
     ahi, alo, apay = _merge_pack(ka, cov_a, fw_a, bw_a)
     bhir, blor, bpayr = _merge_pack(kb, cov_b, fw_b, bw_b, reverse=True)
     na_t = ka.shape[0] // TILE
     out, cnt = _merge_run(first, nch, b_lo, b_hi, ahi, alo, apay,
                           bhir, blor, bpayr, na_t, dmax)
-    keys, cov, fw, bw, n = _merge_post(out, cnt, p)
+    keys, cov, fw, bw, n = _merge_post(out, cnt)
     return keys[:p], cov[:p], fw[:p], bw[:p], n
 
 
@@ -909,15 +907,8 @@ def count_sorted_split(keys, edges, valid, nsplit: int):
         if len(parts) % 2:
             nxt.append(parts[-1])
         parts = nxt
+    # part lengths always sum to p (count_sorted returns slice-length
+    # arrays; each merge returns len(a)+len(b)), matching count_sorted's
+    # one-row-per-record contract exactly
     k, c, f, b, n = parts[0]
-    # match count_sorted's output length contract (one row per record)
-    if k.shape[0] < p:
-        import jax.numpy as jnp
-
-        pad = p - k.shape[0]
-        k = jnp.concatenate([k, jnp.full((pad,), 0xFFFFFFFFFFFFFFFF,
-                                         jnp.uint64)])
-        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.uint32)])
-        f = jnp.concatenate([f, jnp.zeros((pad, 4), jnp.uint32)])
-        b = jnp.concatenate([b, jnp.zeros((pad, 4), jnp.uint32)])
     return k[:p], c[:p], f[:p], b[:p], n
