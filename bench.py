@@ -34,6 +34,36 @@ def _device_available(timeout_s: int = 120) -> bool:
         return False
 
 
+def _pallas_ok(platform: str, timeout_s: int = 900) -> bool:
+    """Go/no-go for timing the Pallas paths: run the on-chip exactness
+    check in a subprocess (bounded — a Mosaic compile/runtime fault must
+    not take the bench artifact down with it).
+
+    KREEQ_TPU_BENCH_PALLAS=0 skips, =1 forces (no subprocess check).
+    CPU platform always skips: there the kernels only run in interpret
+    mode, whose timing is meaningless."""
+    import os
+    import subprocess
+    import sys
+
+    force = os.environ.get("KREEQ_TPU_BENCH_PALLAS")
+    if force == "0":
+        return False
+    if force == "1":
+        return True
+    if platform == "cpu":
+        return False
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "pallas_onchip_check.py")
+    try:
+        r = subprocess.run(
+            [sys.executable, script, "--small", "--exact-only"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def main() -> None:
     import jax
 
@@ -60,8 +90,7 @@ def main() -> None:
         return count_sorted(keys, edges, valid)
 
     codes = jnp.asarray(genome)
-    tkeys, cov, fw, bw, n = count_step(codes)
-    _ = int(n)  # force execution + readback
+    pallas_ok = _pallas_ok(jax.devices()[0].platform)
 
     # chain a data dependency between iterations and read back a scalar
     # at the end: the remote execution relay elides repeated identical
@@ -71,17 +100,38 @@ def main() -> None:
     # precedes the timed one — steady-state throughput is what a
     # multi-chunk production build sees.
     iters = 5
-    carry = codes
-    for _ in range(3):
-        tkeys, cov, fw, bw, n = count_step(carry)
-        carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
-    _ = int(n)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        tkeys, cov, fw, bw, n = count_step(carry)
-        carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
-    _ = int(n)
-    dt_count = (time.perf_counter() - t0) / iters
+
+    def time_count(step):
+        tkeys, cov, fw, bw, n = step(codes)
+        _ = int(n)  # force execution + readback
+        carry = codes
+        for _ in range(3):
+            tkeys, cov, fw, bw, n = step(carry)
+            carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
+        _ = int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tkeys, cov, fw, bw, n = step(carry)
+            carry = jnp.roll(carry, 1) ^ (tkeys[0] & 3).astype(jnp.uint8)
+        _ = int(n)
+        return (time.perf_counter() - t0) / iters, (tkeys, cov, fw, bw, n)
+
+    dt_count, (tkeys, cov, fw, bw, n) = time_count(count_step)
+    count_path = "xla"
+    if pallas_ok:
+        from kreeq_tpu.ops.pallas_kernels import count_sorted_pallas
+
+        @jax.jit
+        def count_step_pallas(codes):
+            keys, _isfw, edges, valid = kmer_positions(codes, k)
+            return count_sorted_pallas(keys, edges, valid)
+
+        try:
+            dt_p, _ = time_count(count_step_pallas)
+            if dt_p < dt_count:
+                dt_count, count_path = dt_p, "pallas"
+        except Exception:  # noqa: BLE001 — never lose the artifact
+            pass
     kmers = chunk - k + 1
     count_rate = kmers / dt_count
 
@@ -105,19 +155,36 @@ def main() -> None:
         return validate_positions(tkeys, cov, fw, bw, starts, codes, k, 0,
                                   bits, rounds, use_merge)
 
-    out = probe_step(tkeys, cov, fw, bw, asm)
-    _ = int(out[3][0])
-    carry = asm
-    for _ in range(3):
-        out = probe_step(tkeys, cov, fw, bw, carry)
-        carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
-    _ = int(out[3][0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = probe_step(tkeys, cov, fw, bw, carry)
-        carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
-    _ = int(out[3][0])
-    dt_probe = (time.perf_counter() - t0) / iters
+    def time_probe(step):
+        out = step(tkeys, cov, fw, bw, asm)
+        _ = int(out[3][0])
+        carry = asm
+        for _ in range(3):
+            out = step(tkeys, cov, fw, bw, carry)
+            carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
+        _ = int(out[3][0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(tkeys, cov, fw, bw, carry)
+            carry = jnp.roll(carry, 1) ^ (out[3][0] & 1).astype(jnp.uint8)
+        _ = int(out[3][0])
+        return (time.perf_counter() - t0) / iters
+
+    dt_probe = time_probe(probe_step)
+    probe_path = "xla"
+    if pallas_ok:
+        from kreeq_tpu.ops.validate import validate_positions_pallas
+
+        def probe_step_pallas(tkeys, cov, fw, bw, codes):
+            return validate_positions_pallas(tkeys, cov, fw, bw, codes,
+                                             k, 0)
+
+        try:
+            dt_p = time_probe(probe_step_pallas)
+            if dt_p < dt_probe:
+                dt_probe, probe_path = dt_p, "pallas"
+        except Exception:  # noqa: BLE001 — never lose the artifact
+            pass
     probe_rate = (pchunk - k + 1) / dt_probe
 
     # measured reference-style CPU oracle on this host's 4 cores
@@ -138,6 +205,9 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "count_step_ms": round(dt_count * 1e3, 2),
             "probe_step_ms": round(dt_probe * 1e3, 2),
+            "count_path": count_path,
+            "probe_path": probe_path,
+            "pallas_onchip_ok": pallas_ok,
         },
     }
     print(json.dumps(result))

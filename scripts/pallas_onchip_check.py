@@ -6,6 +6,8 @@ Order of business:
   3. timed comparison (chained dispatches, warm) at bench.py shapes
 
 Usage:  timeout 1800 python scripts/pallas_onchip_check.py [--small]
+        (--exact-only skips the timing section; bench.py uses this as
+         its go/no-go probe before timing the Pallas paths itself)
 """
 
 import sys
@@ -16,6 +18,7 @@ import numpy as np
 
 def main() -> int:
     small = "--small" in sys.argv
+    exact_only = "--exact-only" in sys.argv
     import jax
     import jax.numpy as jnp
 
@@ -94,6 +97,8 @@ def main() -> int:
 
     if not (ok and pok and mok):
         return 1
+    if exact_only:
+        return 0
 
     # 3. timing (chained, warm)
     def timeit(fn, *args, iters=5):
