@@ -34,14 +34,16 @@ def _device_available(timeout_s: int = 120) -> bool:
         return False
 
 
-def _pallas_ok(platform: str, timeout_s: int = 900) -> bool:
+def _pallas_ok(timeout_s: int = 900) -> bool:
     """Go/no-go for timing the Pallas paths: run the on-chip exactness
-    check in a subprocess (bounded — a Mosaic compile/runtime fault must
-    not take the bench artifact down with it).
+    self-check in a subprocess (bounded — a Mosaic compile/runtime
+    fault must not take the bench artifact down with it).  Call BEFORE
+    this process initializes its own backend, so the subprocess doesn't
+    contend for the chip.
 
     KREEQ_TPU_BENCH_PALLAS=0 skips, =1 forces (no subprocess check).
-    CPU platform always skips: there the kernels only run in interpret
-    mode, whose timing is meaningless."""
+    The self-check exits 2 (-> skip) on a CPU platform: there the
+    kernels only run in interpret mode, whose timing is meaningless."""
     import os
     import subprocess
     import sys
@@ -51,14 +53,11 @@ def _pallas_ok(platform: str, timeout_s: int = 900) -> bool:
         return False
     if force == "1":
         return True
-    if platform == "cpu":
-        return False
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "pallas_onchip_check.py")
     try:
         r = subprocess.run(
-            [sys.executable, script, "--small", "--exact-only"],
-            timeout=timeout_s, capture_output=True)
+            [sys.executable, "-m", "kreeq_tpu.ops.pallas_selfcheck"],
+            timeout=timeout_s, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
         return False
@@ -67,7 +66,11 @@ def _pallas_ok(platform: str, timeout_s: int = 900) -> bool:
 def main() -> None:
     import jax
 
-    if not _device_available():
+    avail = _device_available()
+    # the Pallas go/no-go subprocess runs before this process touches
+    # the backend (single tunneled chip — no concurrent clients)
+    pallas_ok = _pallas_ok() if avail else False
+    if not avail:
         # fall back to CPU so the round still records a bench artifact
         # (value is not comparable to TPU rounds; device field says so)
         jax.config.update("jax_platforms", "cpu")
@@ -90,7 +93,6 @@ def main() -> None:
         return count_sorted(keys, edges, valid)
 
     codes = jnp.asarray(genome)
-    pallas_ok = _pallas_ok(jax.devices()[0].platform)
 
     # chain a data dependency between iterations and read back a scalar
     # at the end: the remote execution relay elides repeated identical

@@ -103,7 +103,9 @@ class DBG:
         from ..ops.validate import (validate_positions,
                                     validate_positions_pallas)
 
-        use_pallas = os.environ.get("KREEQ_TPU_PALLAS") == "1"
+        from ..utils.pallas_gate import pallas_enabled
+
+        use_pallas = pallas_enabled()
 
         k = self.k
         self.tracks = []

@@ -427,7 +427,9 @@ class KmerTable:
                     np.zeros((len(q), 4), np.uint32))
         tkeys, cov, fw, bw = self.device_arrays()
         q = jnp.asarray(qkeys)
-        if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+        from ..utils.pallas_gate import pallas_enabled
+
+        if pallas_enabled():
             from ..ops.pallas_kernels import probe_merge_pallas
 
             found, qcov, qfw, qbw = probe_merge_pallas(tkeys, cov, fw,

@@ -241,14 +241,16 @@ def count_sorted(keys: jax.Array, edges: jax.Array, valid: jax.Array):
 def get_count_sorted():
     """Select the run-aggregation implementation.
 
-    KREEQ_TPU_PALLAS=1 selects the streaming Pallas kernel
-    (ops/pallas_kernels.py).  It is exact-match validated in interpret
-    mode; on this environment's tunneled TPU the Mosaic toolchain is
-    version-skewed (see KNOWN_GAPS.md), so the XLA path is the default.
+    KREEQ_TPU_PALLAS=1 (or =auto with a passing on-device self-check;
+    utils/pallas_gate.py) selects the streaming Pallas kernel
+    (ops/pallas_kernels.py); the XLA path is the default
+    (KNOWN_GAPS.md "Pallas on this environment").
     """
     import os
 
-    if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+    from ..utils.pallas_gate import pallas_enabled
+
+    if pallas_enabled():
         # split-count rides the same gate: it reduces with the Pallas
         # merge kernel, so it must never run where Pallas cannot
         split = int(os.environ.get("KREEQ_TPU_COUNT_SPLIT", "0"))
@@ -350,13 +352,13 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
 def get_merge_sorted():
     """Select the sorted-merge implementation.
 
-    KREEQ_TPU_PALLAS=1 selects the streaming Pallas merge kernel
+    KREEQ_TPU_PALLAS=1/auto selects the streaming Pallas merge kernel
     (ops/pallas_kernels.merge_sorted_pallas) — one sequential pass
     instead of a (na+nb)-element sort plus a compaction flag-sort.
     Host-level only (it reads back the max chunk span per tile)."""
-    import os
+    from ..utils.pallas_gate import pallas_enabled
 
-    if os.environ.get("KREEQ_TPU_PALLAS") == "1":
+    if pallas_enabled():
         from .pallas_kernels import merge_sorted_pallas
 
         return merge_sorted_pallas

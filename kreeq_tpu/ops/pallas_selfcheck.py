@@ -1,0 +1,89 @@
+"""On-device exactness self-check for the Pallas kernels.
+
+Runs the three streaming kernels (count run-aggregation, merge-probe,
+union/merge — ops/pallas_kernels.py) on a small random workload and
+compares against their XLA twins bit-for-bit.  Used by the
+`KREEQ_TPU_PALLAS=auto` gate (utils/pallas_gate.py) and as a subprocess
+go/no-go by bench.py (`python -m kreeq_tpu.ops.pallas_selfcheck`).
+
+Exit codes (subprocess mode): 0 = all exact, 1 = mismatch or kernel
+failure, 2 = skipped (CPU platform without interpret mode — Pallas only
+has a real lowering for TPU here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def selfcheck(n: int = 1 << 16, k: int = 31, force: bool = False) -> bool:
+    """True iff all three Pallas kernels run and exact-match XLA.
+
+    `force` bypasses the CPU-platform guard (tests run the kernels in
+    interpret mode on CPU; production auto mode never does).
+    Exceptions are caught: a Mosaic compile/runtime failure means
+    "don't use Pallas", not "crash the pipeline".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    interp = os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1"
+    if jax.devices()[0].platform == "cpu" and not (interp or force):
+        return False
+    try:
+        from .kmers import count_sorted, kmer_positions, merge_sorted, \
+            probe_merge
+        from .pallas_kernels import (count_sorted_pallas,
+                                     merge_sorted_pallas,
+                                     probe_merge_pallas)
+
+        rng = np.random.default_rng(0)
+        codes = jnp.asarray(rng.integers(0, 4, n).astype(np.uint8))
+        keys, _isfw, edges, valid = kmer_positions(codes, k)
+
+        ref = count_sorted(keys, edges, valid)
+        got = count_sorted_pallas(keys, edges, valid)
+        nr = int(ref[4])
+        if nr != int(got[4]) or not all(
+                np.array_equal(np.asarray(a)[:nr], np.asarray(b)[:nr])
+                for a, b in zip(ref[:4], got[:4])):
+            return False
+
+        qk = keys[:n // 2]
+        pref = probe_merge(ref[0], ref[1], ref[2], ref[3], qk)
+        pgot = probe_merge_pallas(ref[0], ref[1], ref[2], ref[3], qk)
+        if not all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(pref, pgot)):
+            return False
+
+        half = nr // 2
+        A = tuple(r[:half] for r in ref[:4])
+        B = tuple(r[half:nr] for r in ref[:4])
+        mref = merge_sorted(*A, *B)
+        mgot = merge_sorted_pallas(*A, *B)
+        mn = int(mref[4])
+        return mn == int(mgot[4]) and all(
+            np.array_equal(np.asarray(a)[:mn], np.asarray(b)[:mn])
+            for a, b in zip(mref[:4], mgot[:4]))
+    except Exception:  # noqa: BLE001 — any failure means "no Pallas"
+        return False
+
+
+def main() -> int:
+    import jax
+
+    import kreeq_tpu  # noqa: F401  (x64 config)
+
+    interp = os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1"
+    if jax.devices()[0].platform == "cpu" and not interp:
+        print("pallas selfcheck: skipped (cpu platform)")
+        return 2
+    ok = selfcheck()
+    print("pallas selfcheck:", "EXACT" if ok else "FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""Gate for the streaming Pallas kernels (ops/pallas_kernels.py).
+
+KREEQ_TPU_PALLAS semantics:
+  "1"    — always use the Pallas paths (caller has verified them).
+  "auto" — use them iff an on-device exactness self-check passes
+           (ops/pallas_selfcheck.py), cached per (jax, jaxlib,
+           device kind) fingerprint so the check runs once, not per
+           CLI invocation.
+  unset / anything else — XLA paths only (the conservative default;
+           see KNOWN_GAPS.md "Pallas on this environment").
+
+The auto check runs in-process: by the time any gated getter is
+called the backend is already initialized, and the self-check catches
+kernel failures, so a broken Mosaic toolchain degrades to the XLA
+path instead of an error.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_cached: bool | None = None
+
+
+def _cache_path() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.expanduser("~/.cache"))
+    return os.path.join(base, "kreeq_tpu", "pallas_auto.json")
+
+
+def _fingerprint() -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    return "|".join((jax.__version__,
+                     getattr(jax, "jaxlib", jax).__version__,
+                     getattr(dev, "device_kind", ""), dev.platform))
+
+
+def _auto_check() -> bool:
+    from ..ops.pallas_selfcheck import selfcheck
+
+    fp = _fingerprint()
+    path = _cache_path()
+    try:
+        with open(path) as f:
+            cached = json.load(f)
+        if cached.get("fingerprint") == fp:
+            return bool(cached["ok"])
+    except (OSError, ValueError, KeyError):
+        pass
+    ok = selfcheck()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fp, "ok": ok}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimization only
+    return ok
+
+
+def pallas_enabled() -> bool:
+    """True when the Pallas kernel paths should be used."""
+    global _cached
+    v = os.environ.get("KREEQ_TPU_PALLAS", "")
+    if v == "1":
+        return True
+    if v != "auto":
+        return False
+    if _cached is None:
+        _cached = _auto_check()
+    return _cached

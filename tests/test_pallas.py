@@ -302,3 +302,42 @@ def test_count_sorted_split_matches(seed, n, k, split):
     assert nr == int(got[4])
     for a, b in zip(ref[:4], got[:4]):
         assert np.array_equal(np.asarray(a)[:nr], np.asarray(b)[:nr])
+
+
+def test_selfcheck_exact_interpret():
+    """The auto-gate's on-device self-check passes in interpret mode
+    (force bypasses the CPU-platform guard that production auto obeys)."""
+    from kreeq_tpu.ops.pallas_selfcheck import selfcheck
+
+    assert selfcheck(n=1 << 13, k=21, force=True)
+
+
+def test_pallas_gate_semantics(monkeypatch, tmp_path):
+    import kreeq_tpu.utils.pallas_gate as gate
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(gate, "_cached", None)
+
+    monkeypatch.setenv("KREEQ_TPU_PALLAS", "1")
+    assert gate.pallas_enabled() is True
+    monkeypatch.setenv("KREEQ_TPU_PALLAS", "0")
+    assert gate.pallas_enabled() is False
+    monkeypatch.delenv("KREEQ_TPU_PALLAS")
+    assert gate.pallas_enabled() is False
+
+    # auto on the CPU backend (no interpret): self-check declines,
+    # result cached on disk with the backend fingerprint
+    monkeypatch.delenv("KREEQ_TPU_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setenv("KREEQ_TPU_PALLAS", "auto")
+    assert gate.pallas_enabled() is False
+    import json
+    with open(gate._cache_path()) as f:
+        cached = json.load(f)
+    assert cached == {"fingerprint": gate._fingerprint(), "ok": False}
+
+    # cached result short-circuits the check (flip it to prove the
+    # cache, not the check, answers)
+    monkeypatch.setattr(gate, "_cached", None)
+    with open(gate._cache_path(), "w") as f:
+        json.dump({"fingerprint": gate._fingerprint(), "ok": True}, f)
+    assert gate.pallas_enabled() is True
