@@ -96,8 +96,6 @@ class DBG:
         out = out or sys.stdout
         if not self.ui.in_sequence:
             return
-        import os
-
         import jax.numpy as jnp
 
         from ..ops.validate import (validate_positions,
@@ -114,23 +112,26 @@ class DBG:
         self.tot_edge_missing = 0
         if len(self.table):
             tkeys, tcov, tfw, tbw = self.table.device_arrays()
-            # sort-merge probe when the table isn't much larger than a
-            # window (see KmerTable.probe); the bucket index is only
-            # built when the bisection path is taken
-            use_merge = tkeys.shape[0] <= 6 * self.VALIDATE_WINDOW
-            if use_merge or use_pallas:
-                bits, rounds = 8, 1
-                starts = jnp.zeros((1 << bits) + 1, jnp.int32)
-            else:
-                starts, bits, rounds = self.table.bucket_index()
         else:
-            use_merge = False
             tkeys = jnp.zeros(1, jnp.uint64) - 1
             tcov = jnp.zeros(1, jnp.uint32)
             tfw = jnp.zeros((1, 4), jnp.uint32)
             tbw = jnp.zeros((1, 4), jnp.uint32)
-            bits, rounds = 8, 1
-            starts = jnp.zeros((1 << bits) + 1, jnp.int32)
+        # the merge-vs-bisection choice is per WINDOW (same rule as
+        # KmerTable.probe: merge only when the table isn't much larger
+        # than this window's batch) — a fragmented assembly probes many
+        # small windows, and sorting the whole table per tiny window
+        # would dwarf the bucketed gathers.  The bucket index is cached
+        # on the table, fetched only if some window takes bisection.
+        empty_starts = jnp.zeros((1 << 8) + 1, jnp.int32)
+
+        def probe_params(nbuf: int):
+            if not len(self.table):
+                return False, empty_starts, 8, 1
+            if tkeys.shape[0] <= 6 * nbuf:
+                return True, empty_starts, 8, 1
+            starts, bits, rounds = self.table.bucket_index()
+            return False, starts, bits, rounds
         for seg in self.genome.segments:
             ln = len(seg)
             if ln < k:
@@ -166,6 +167,7 @@ class DBG:
                          tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
                          self.ui.cov_cutoff)
                 else:
+                    use_merge, starts, bits, rounds = probe_params(nbuf)
                     (valid, missing, edge_missing, cov, isfw, right,
                      left) = validate_positions(tkeys, tcov, tfw, tbw,
                                                 starts, jnp.asarray(buf),

@@ -23,8 +23,7 @@ from typing import Dict, List, Optional, Tuple
 
 from ..constants import revcom
 from .fibheap import FibonacciHeap
-from .keys import (canonical, key_to_seq, next_key_bw, next_key_fw,
-                   revcomp_keys_np)
+from .keys import canonical, key_to_seq, next_key_bw, next_key_fw
 
 SNV, INS, DEL, COM = "SNV", "INS", "DEL", "COM"
 
@@ -188,9 +187,6 @@ def variants_to_gfa(dbg, seg) -> None:
         genome.delete_segment(header)
 
 
-_revcomp_keys_np = revcomp_keys_np
-
-
 def _scan_probe_fn():
     """Build the fused device program of dbg_to_variants: k-mer
     extraction, invalid-position sentinels, the batched table probe,
@@ -211,10 +207,21 @@ def _scan_probe_fn():
         p = codes.shape[0] - k + 1
         keys, isfw, _e, valid = kmer_positions(codes, k)
         # non-ACGT windows: the reference hashes garbage bytes into a
-        # key that misses the DB; a distinct high-bit sentinel per
-        # position mirrors that (canonical keys are < 4^k)
+        # key that misses the DB; a distinct per-position sentinel
+        # mirrors that.  For k < 32 a high-bit sentinel cannot alias a
+        # real key (canonical keys are < 4^k <= 2^62).  At k = 32 keys
+        # span the full 64 bits, so use first-base-T | last-base-T
+        # values instead: their reverse complement (first-base A at the
+        # top) is strictly smaller, so no canonical key — table entry,
+        # valid window, or candidate neighbour — can ever equal one.
         iota = jnp.arange(p, dtype=jnp.uint64)
-        keys = jnp.where(valid, keys, jnp.uint64(1 << 63) | iota)
+        if k < 32:
+            sentinels = jnp.uint64(1 << 63) | iota
+        else:
+            sentinels = (jnp.uint64(3)
+                         | (iota << jnp.uint64(2))
+                         | (jnp.uint64(3) << jnp.uint64(2 * (k - 1))))
+        keys = jnp.where(valid, keys, sentinels)
 
         if use_merge:
             found, covs, fws, bws = probe_merge(tkeys, tcov, tfw, tbw,

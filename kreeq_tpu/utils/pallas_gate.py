@@ -30,11 +30,26 @@ def _cache_path() -> str:
 
 
 def _fingerprint() -> str:
+    """Identify the kernel toolchain, not just the pip jax version.
+
+    The Mosaic compiler lives in jaxlib + the PJRT plugin (libtpu),
+    which this environment can swap under an unchanged jax version —
+    exactly the skew KNOWN_GAPS.md documents — so the cached verdict
+    must key on all of them.  platform_version comes from the PJRT
+    client (for libtpu it embeds the build identifier)."""
     import jax
 
+    try:
+        import jaxlib.version
+        jaxlib_v = jaxlib.version.__version__
+    except Exception:
+        jaxlib_v = "unknown"
     dev = jax.devices()[0]
-    return "|".join((jax.__version__,
-                     getattr(jax, "jaxlib", jax).__version__,
+    try:
+        plugin_v = dev.client.platform_version
+    except Exception:
+        plugin_v = "unknown"
+    return "|".join((jax.__version__, jaxlib_v, plugin_v,
                      getattr(dev, "device_kind", ""), dev.platform))
 
 

@@ -100,27 +100,45 @@ def main() -> int:
     if exact_only:
         return 0
 
-    # 3. timing (chained, warm)
-    def timeit(fn, *args, iters=5):
-        import jax
-
+    # 3. timing — chained: each iteration's input is derived from the
+    # previous output (the remote execution relay elides repeated
+    # identical dispatches, so unchained same-input timing is bogus;
+    # see bench.py).  Chains are workload-equivalent: a low-bit flip of
+    # random count keys, a permutation of the probe queries (hit ratio
+    # preserved), a cov tweak for merge (key order untouched).
+    def timeit(fn, args, chain, iters=5):
         out = fn(*args)
         jax.block_until_ready(out)
-        out = fn(*args)
+        for _ in range(3):  # chained warm-up: relay pipelining
+            args = chain(out, *args)
+            out = fn(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
+            args = chain(out, *args)
             out = fn(*args)
             jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
-    tc_x = timeit(lambda: count_sorted(keys, edges, valid))
-    tc_p = timeit(lambda: count_sorted_pallas(keys, edges, valid))
-    tp_x = timeit(lambda: probe_merge(ref[0], ref[1], ref[2], ref[3], qk))
-    tp_p = timeit(
-        lambda: probe_merge_pallas(ref[0], ref[1], ref[2], ref[3], qk))
-    tm_x = timeit(lambda: merge_sorted(*A, *B))
-    tm_p = timeit(lambda: merge_sorted_pallas(*A, *B))
+    def chain_count(out, ckeys, cedges, cvalid):
+        bit = (out[0].ravel()[0] & jnp.uint64(1))
+        return ckeys ^ bit, cedges, cvalid
+
+    def chain_probe(out, t0_, t1_, t2_, t3_, q_):
+        s = (out[1].ravel()[0] & jnp.uint32(1)).astype(jnp.int32)
+        return t0_, t1_, t2_, t3_, jnp.roll(q_, s + 1)
+
+    def chain_merge(out, a0, a1, a2, a3, b0, b1, b2, b3):
+        bit = out[1].ravel()[0] & jnp.uint32(1)
+        return a0, a1 ^ bit, a2, a3, b0, b1, b2, b3
+
+    tc_x = timeit(count_sorted, (keys, edges, valid), chain_count)
+    tc_p = timeit(count_sorted_pallas, (keys, edges, valid), chain_count)
+    pargs = (ref[0], ref[1], ref[2], ref[3], qk)
+    tp_x = timeit(probe_merge, pargs, chain_probe)
+    tp_p = timeit(probe_merge_pallas, pargs, chain_probe)
+    tm_x = timeit(merge_sorted, A + B, chain_merge)
+    tm_p = timeit(merge_sorted_pallas, A + B, chain_merge)
     print(f"count:  XLA {tc_x*1e3:.1f} ms  pallas {tc_p*1e3:.1f} ms "
           f"({tc_x/tc_p:.2f}x)")
     print(f"probe:  XLA {tp_x*1e3:.1f} ms  pallas {tp_p*1e3:.1f} ms "
