@@ -648,10 +648,15 @@ def _merge_kernel(first_ref, nch_ref, blo_ref, bhi_ref,
         blox = jnp.max(jnp.where(live_b & (bk_hi == bhix), bk_lo, neg))
         is_last = j == nch_ref[i] - 1
 
-        wkhi, wklo = _keys_from_limbs(w_ref[0:4, :])
-        khi = jnp.concatenate([wkhi, bk_hi], axis=1)
-        klo = jnp.concatenate([wklo, bk_lo], axis=1)
-        pl18 = jnp.concatenate([w_ref[4:22, :], blimb], axis=1)
+        # lane-concat at the limb-row level: both operands are offset-0
+        # (a direct ref read and fresh arithmetic).  Concatenating the
+        # derived (1, T) key halves instead trips Mosaic's
+        # "offset mismatch on non-concat dimension" (row slices carry
+        # sublane offsets that plain lane values don't).
+        brows = jnp.concatenate([_limbs4(bk_hi, bk_lo), blimb], axis=0)
+        rows_all = jnp.concatenate([w_ref[:, :], brows], axis=1)
+        khi, klo = _keys_from_limbs(rows_all[0:4, :])
+        pl18 = rows_all[4:22, :]
         for d in [256, 128, 64, 32, 16, 8, 4, 2, 1]:
             f_hi = pltpu.roll(khi, n2 - d, axis=1)
             f_lo = pltpu.roll(klo, n2 - d, axis=1)
@@ -722,16 +727,17 @@ def _merge_kernel(first_ref, nch_ref, blo_ref, bhi_ref,
     # tiles — skipping it saves a no-op compaction + DMA per tile
     @pl.when((j == dmax) & (nch_ref[i] == 0))
     def _():
-        wkhi, wklo = _keys_from_limbs(w_ref[0:4, :])
         sent2 = jnp.int32(_SENT_BIASED)
-        live = (wkhi != sent2) | (wklo != sent2)
         rows = jnp.concatenate(
             [w_ref[:, :],
              jnp.concatenate(
                  [jnp.full((4, TILE), 65535.0, jnp.float32),
                   jnp.zeros((18, TILE), jnp.float32)], axis=0)], axis=1)
-        live2 = jnp.concatenate(
-            [live, jnp.zeros((1, TILE), bool)], axis=1)
+        # liveness from the concatenated rows (the sentinel-limb pad
+        # decodes to _SENT_BIASED, so the pad half is dead) — avoids a
+        # lane-concat of offset-mismatched mask vectors (see above)
+        khi2, klo2 = _keys_from_limbs(rows[0:4, :])
+        live2 = (khi2 != sent2) | (klo2 != sent2)
         flush(rows, live2)
 
     @pl.when((j == dmax) & (i == pl.num_programs(0) - 1))

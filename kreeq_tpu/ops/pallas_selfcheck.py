@@ -2,13 +2,15 @@
 
 Runs the three streaming kernels (count run-aggregation, merge-probe,
 union/merge — ops/pallas_kernels.py) on a small random workload and
-compares against their XLA twins bit-for-bit.  Used by the
+compares against their XLA twins bit-for-bit — PER KERNEL, so one
+kernel's Mosaic regression never disables the others.  Used by the
 `KREEQ_TPU_PALLAS=auto` gate (utils/pallas_gate.py) and as a subprocess
 go/no-go by bench.py (`python -m kreeq_tpu.ops.pallas_selfcheck`).
 
-Exit codes (subprocess mode): 0 = all exact, 1 = mismatch or kernel
-failure, 2 = skipped (CPU platform without interpret mode — Pallas only
-has a real lowering for TPU here).
+Exit codes (subprocess mode): 0 = all exact, 1 = any mismatch or kernel
+failure (stdout lists the per-kernel verdicts), 2 = skipped (CPU
+platform without interpret mode — Pallas only has a real lowering for
+TPU here).
 """
 
 from __future__ import annotations
@@ -17,21 +19,26 @@ import os
 
 import numpy as np
 
+KERNELS = ("count", "probe", "merge")
 
-def selfcheck(n: int = 1 << 16, k: int = 31, force: bool = False) -> bool:
-    """True iff all three Pallas kernels run and exact-match XLA.
+
+def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
+                      force: bool = False) -> dict:
+    """Per-kernel exactness verdicts {count, probe, merge} -> bool.
 
     `force` bypasses the CPU-platform guard (tests run the kernels in
     interpret mode on CPU; production auto mode never does).
-    Exceptions are caught: a Mosaic compile/runtime failure means
-    "don't use Pallas", not "crash the pipeline".
+    Exceptions are caught per kernel: a Mosaic compile/runtime failure
+    means "don't use THAT kernel", not "crash the pipeline" and not
+    "disable the ones that work".
     """
     import jax
     import jax.numpy as jnp
 
+    verdict = {name: False for name in KERNELS}
     interp = os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1"
     if jax.devices()[0].platform == "cpu" and not (interp or force):
-        return False
+        return verdict
     try:
         from .kmers import count_sorted, kmer_positions, merge_sorted, \
             probe_merge
@@ -42,33 +49,47 @@ def selfcheck(n: int = 1 << 16, k: int = 31, force: bool = False) -> bool:
         rng = np.random.default_rng(0)
         codes = jnp.asarray(rng.integers(0, 4, n).astype(np.uint8))
         keys, _isfw, edges, valid = kmer_positions(codes, k)
-
         ref = count_sorted(keys, edges, valid)
-        got = count_sorted_pallas(keys, edges, valid)
         nr = int(ref[4])
-        if nr != int(got[4]) or not all(
-                np.array_equal(np.asarray(a)[:nr], np.asarray(b)[:nr])
-                for a, b in zip(ref[:4], got[:4])):
-            return False
+    except Exception:  # noqa: BLE001 — no workload, no Pallas at all
+        return verdict
 
+    try:
+        got = count_sorted_pallas(keys, edges, valid)
+        verdict["count"] = nr == int(got[4]) and all(
+            np.array_equal(np.asarray(a)[:nr], np.asarray(b)[:nr])
+            for a, b in zip(ref[:4], got[:4]))
+    except Exception:  # noqa: BLE001
+        pass
+
+    try:
         qk = keys[:n // 2]
         pref = probe_merge(ref[0], ref[1], ref[2], ref[3], qk)
         pgot = probe_merge_pallas(ref[0], ref[1], ref[2], ref[3], qk)
-        if not all(np.array_equal(np.asarray(a), np.asarray(b))
-                   for a, b in zip(pref, pgot)):
-            return False
+        verdict["probe"] = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(pref, pgot))
+    except Exception:  # noqa: BLE001
+        pass
 
+    try:
         half = nr // 2
         A = tuple(r[:half] for r in ref[:4])
         B = tuple(r[half:nr] for r in ref[:4])
         mref = merge_sorted(*A, *B)
         mgot = merge_sorted_pallas(*A, *B)
         mn = int(mref[4])
-        return mn == int(mgot[4]) and all(
+        verdict["merge"] = mn == int(mgot[4]) and all(
             np.array_equal(np.asarray(a)[:mn], np.asarray(b)[:mn])
             for a, b in zip(mref[:4], mgot[:4]))
-    except Exception:  # noqa: BLE001 — any failure means "no Pallas"
-        return False
+    except Exception:  # noqa: BLE001
+        pass
+    return verdict
+
+
+def selfcheck(n: int = 1 << 16, k: int = 31, force: bool = False) -> bool:
+    """True iff ALL three Pallas kernels run and exact-match XLA."""
+    return all(selfcheck_kernels(n, k, force).values())
 
 
 def main() -> int:
@@ -80,9 +101,11 @@ def main() -> int:
     if jax.devices()[0].platform == "cpu" and not interp:
         print("pallas selfcheck: skipped (cpu platform)")
         return 2
-    ok = selfcheck()
-    print("pallas selfcheck:", "EXACT" if ok else "FAILED")
-    return 0 if ok else 1
+    verdict = selfcheck_kernels()
+    for name in KERNELS:
+        print(f"pallas selfcheck [{name}]:",
+              "EXACT" if verdict[name] else "FAILED")
+    return 0 if all(verdict.values()) else 1
 
 
 if __name__ == "__main__":
