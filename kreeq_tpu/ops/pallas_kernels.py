@@ -36,6 +36,17 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 256
 NCOL = 16  # 9 sums + 4 key u16 limbs + padding
 
+# Every dot_general whose data operand carries more than 8 significant
+# bits (u16 key limbs, cumulative counts up to 2^24) must run the MXU
+# at HIGHEST precision: the DEFAULT f32 path truncates inputs to bf16
+# (7 explicit mantissa bits), which is exact for the 0/1 masks but
+# silently rounds limb/count values — the interpret path (CPU f32)
+# hides this, so round 2's kernels validated in interpret and produced
+# wrong rows on the real chip (scripts/debug_pallas_onchip.py bisects
+# it).  With one operand exactly 0/1, the multi-pass HIGHEST
+# decomposition reproduces the exact f32 product.
+_EXACT = jax.lax.Precision.HIGHEST
+
 _SENT32 = -1  # 0xFFFFFFFF as i32 (python int: avoids captured consts)
 
 
@@ -101,6 +112,7 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
     r = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
     lower = (c <= r).astype(jnp.float32)
+    # 0/1 x 0/1: bf16-exact, DEFAULT precision is fine and 6x cheaper
     cum = jax.lax.dot_general(lower, m, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     cum = cum + tot_ref[0, :][None, :]
@@ -130,7 +142,8 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
     # [NCOL, TILE]: compacted entries along lanes
     compacted = jax.lax.dot_general(rows, onehot_t,
                                     (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=_EXACT)
     ntile = jnp.sum(emit_f).astype(jnp.int32)
 
     win = TILE + 128
@@ -299,7 +312,8 @@ def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
               & 0xFFFF).astype(jnp.float32)], axis=0)  # [LCOL, TILE]
         # res[c, a] = limb c of the table row matching query a (or 0)
         res = jax.lax.dot_general(limbs, eq, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=_EXACT)
         out_ref[:, :] += res
 
 
@@ -551,7 +565,8 @@ def _compact(rows, sel, width):
               & sel[0, :][None, :]).astype(jnp.float32)
     comp = jax.lax.dot_general(rows * selr, onehot,
                                (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=_EXACT)
     return comp, jnp.sum(selr).astype(jnp.int32)
 
 
