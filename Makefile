@@ -1,7 +1,7 @@
 # Convenience targets (the compute path needs no build; the native C++
 # runtime auto-builds on first use — this just makes it explicit).
 
-.PHONY: all native test golden bench clean
+.PHONY: all native test golden bench check clean
 
 all: native
 
@@ -18,6 +18,9 @@ golden:
 
 bench:
 	python3 bench.py
+
+# full local gate: unit suite + golden corpus
+check: test golden
 
 clean:
 	rm -f kreeq_tpu/native/libkreeq_native.so

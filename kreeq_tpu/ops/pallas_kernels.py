@@ -225,10 +225,17 @@ def _run_pallas_x32(lo, hi, edges, grid: int, cap: int):
 
 @partial(jax.jit, static_argnums=())
 def count_sorted_pallas(keys, edges, valid):
-    """Drop-in replacement for ops.kmers.count_sorted (same contract)."""
+    """Drop-in replacement for ops.kmers.count_sorted (same contract).
+
+    Chunk-size cap: the kernel's f32 prefix sums are exact only while
+    cumulative counts stay < 2^24, so chunks must hold < 2^24 records
+    (get_count_sorted routes larger chunks to the XLA path)."""
     from .kmers import SENTINEL
 
     p = keys.shape[0]
+    assert p < (1 << 24), (
+        f"count_sorted_pallas chunk {p} >= 2^24: f32 prefix sums would "
+        "lose count precision; use ops.kmers.count_sorted")
     skeys = jnp.where(valid, keys, SENTINEL)
     sedges = jnp.where(valid, edges, 0).astype(jnp.uint32)
     hi = (skeys >> jnp.uint64(32)).astype(jnp.uint32)
@@ -899,7 +906,9 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
 
 def count_sorted_split(keys, edges, valid, nsplit: int):
     """count_sorted as nsplit independent sub-sorts reduced by the
-    streaming merge kernel.
+    streaming merge kernel.  (No 2^24 cap here: the XLA sub-sorts are
+    exact at any size and the merge kernel's u16-limb f32 arithmetic is
+    exact for all u32 counter values.)
 
     XLA's TPU sort is superlinear past VMEM-friendly sizes (measured:
     2x8M-base steps = 614 ms vs 1169 ms for one 16M step), so S small

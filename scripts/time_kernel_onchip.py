@@ -7,7 +7,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,7 @@ def main():
     if which == "count":
         def chain(out, ckeys, cedges, cvalid):
             bit = (out[0].ravel()[0] & jnp.uint64(1))
-            return ckeys ^ bit, cedges, cvalid
+            return ckeys + bit, cedges, cvalid  # order-preserving (keys < 2^62)
         tx = timeit(count_sorted, (keys, edges, valid), chain)
         tp = timeit(count_sorted_pallas, (keys, edges, valid), chain)
     else:
