@@ -99,18 +99,25 @@ class DBG:
         import jax.numpy as jnp
 
         from ..ops.validate import (validate_positions,
-                                    validate_positions_pallas)
+                                    validate_positions_pallas,
+                                    validate_positions_table)
 
         from ..utils.pallas_gate import pallas_enabled
 
         use_pallas = pallas_enabled()
+        # out-of-core paging: when the table exceeds the device row cap
+        # the probe loops HBM-resident key-range windows (reference
+        # analog: map-range rescans, src/kreeq.cpp:59-76)
+        windowed = self.table.window_ranges() is not None
 
         k = self.k
         self.tracks = []
         self.tot_missing = 0
         self.tot_kcount = 0
         self.tot_edge_missing = 0
-        if len(self.table):
+        if windowed:
+            tkeys = tcov = tfw = tbw = None
+        elif len(self.table):
             tkeys, tcov, tfw, tbw = self.table.device_arrays()
         else:
             tkeys = jnp.zeros(1, jnp.uint64) - 1
@@ -161,7 +168,12 @@ class DBG:
                 buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
                 if b < kcount:
                     buf[lead + (b - a) + k - 1] = codes[b + k - 1]
-                if use_pallas and len(self.table):
+                if windowed:
+                    (valid, missing, edge_missing, cov, isfw, right,
+                     left) = validate_positions_table(
+                         self.table, jnp.asarray(buf), k,
+                         self.ui.cov_cutoff)
+                elif use_pallas and len(self.table):
                     (valid, missing, edge_missing, cov, isfw, right,
                      left) = validate_positions_pallas(
                          tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,

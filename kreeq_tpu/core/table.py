@@ -71,6 +71,11 @@ class KmerTable:
     bw: np.ndarray  # u32 [n, 4]
     _device: Optional[tuple] = field(default=None, repr=False)
     _bucket: Optional[tuple] = field(default=None, repr=False)
+    # out-of-core windowing state: (window_index, arrays) — only ONE
+    # window is device-resident at a time (HBM analog of the
+    # reference's map-range paging, src/kreeq.cpp:59-76)
+    _win_device: Optional[tuple] = field(default=None, repr=False)
+    _win_bucket: Optional[tuple] = field(default=None, repr=False)
 
     @classmethod
     def empty(cls, k: int) -> "KmerTable":
@@ -350,99 +355,182 @@ class KmerTable:
 
     # -- probing -----------------------------------------------------------
 
-    def device_arrays(self):
-        """Device copies, SENTINEL-padded to a quantized size.
+    @staticmethod
+    def max_device_rows() -> int:
+        """Row cap for one device-resident table window.
+
+        KREEQ_TPU_MAX_TABLE_ROWS overrides (tests force tiny caps to
+        exercise windowing).  The default budgets ~45% of device memory
+        for the table (44 B/row: u64 key + 9xu32 payload), leaving the
+        rest for probe workspace (join sorts scale with t + q) — the
+        HBM analog of the reference's maxMem map-range budget
+        (reference: src/main.cpp:433, src/kreeq.cpp:59-76).
+        """
+        env = os.environ.get("KREEQ_TPU_MAX_TABLE_ROWS")
+        if env:
+            return max(int(env), 1)
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            hbm = stats.get("bytes_limit", 0)
+        except Exception:  # noqa: BLE001 — CPU/older runtimes
+            hbm = 0
+        if not hbm:
+            hbm = 16 << 30
+        return max(int(hbm * 0.45) // 44, 1 << 20)
+
+    def window_ranges(self):
+        """Row ranges [(lo, hi), ...] of the out-of-core windows, or
+        None when the whole table fits one window (the common case —
+        paging collapses to a no-op, SURVEY.md P3)."""
+        n = len(self)
+        cap = self.max_device_rows()
+        if n <= cap:
+            return None
+        w = -(-n // cap)
+        step = -(-n // w)
+        return [(i * step, min(n, (i + 1) * step)) for i in range(w)]
+
+    def _upload(self, lo: int, hi: int):
+        """SENTINEL-padded device copy of rows [lo, hi).
 
         Padding to the {2^i, 1.5*2^i} grid (<= 33% rows, probes handle
         SENTINEL rows exactly) makes every downstream probe program's
-        shape a function of the table's size BUCKET, not its exact
+        shape a function of the slice's size BUCKET, not its exact
         row count — XLA compiles through the remote compiler cost
         30-220 s per shape, and an exact-sized table would recompile
         for every freshly built DB.
         """
         import jax.numpy as jnp
 
-        if self._device is None:
-            from ..ops.kmers import SENTINEL
+        from ..ops.kmers import SENTINEL
 
-            n = len(self.keys)
-            size = 64
-            while size < n:
-                size *= 2
-            if n <= size // 4 * 3 and size // 4 * 3 >= 64:
-                size = size // 4 * 3
-            pad = size - n
-            if pad:
-                keys = np.concatenate(
-                    [self.keys,
-                     np.full(pad, np.uint64(SENTINEL), np.uint64)])
-                cov = np.concatenate([self.cov, np.zeros(pad, np.uint32)])
-                fw = np.concatenate([self.fw,
-                                     np.zeros((pad, 4), np.uint32)])
-                bw = np.concatenate([self.bw,
-                                     np.zeros((pad, 4), np.uint32)])
-            else:
-                keys, cov, fw, bw = self.keys, self.cov, self.fw, self.bw
-            self._device = (jnp.asarray(keys), jnp.asarray(cov),
-                            jnp.asarray(fw), jnp.asarray(bw))
-        return self._device
+        n = hi - lo
+        size = 64
+        while size < n:
+            size *= 2
+        if n <= size // 4 * 3 and size // 4 * 3 >= 64:
+            size = size // 4 * 3
+        pad = size - n
+        keys, cov, fw, bw = (self.keys[lo:hi], self.cov[lo:hi],
+                             self.fw[lo:hi], self.bw[lo:hi])
+        if pad:
+            keys = np.concatenate(
+                [keys, np.full(pad, np.uint64(SENTINEL), np.uint64)])
+            cov = np.concatenate([cov, np.zeros(pad, np.uint32)])
+            fw = np.concatenate([fw, np.zeros((pad, 4), np.uint32)])
+            bw = np.concatenate([bw, np.zeros((pad, 4), np.uint32)])
+        return (jnp.asarray(keys), jnp.asarray(cov),
+                jnp.asarray(fw), jnp.asarray(bw))
 
-    def bucket_index(self):
-        """(starts, bits, rounds) for the bucketed probe; built once."""
-        if self._bucket is None:
-            import math
+    def device_arrays(self, window: int | None = None):
+        """Device copies (SENTINEL-padded).  With `window=i`, returns
+        window i's rows only; a single window is resident at a time
+        (uploading window i+1 frees window i's HBM)."""
+        if window is None:
+            if self._device is None:
+                self._device = self._upload(0, len(self))
+            return self._device
+        ranges = self.window_ranges()
+        assert ranges is not None
+        if self._win_device is None or self._win_device[0] != window:
+            self._win_device = None  # drop the old window's HBM first
+            self._win_bucket = None
+            lo, hi = ranges[window]
+            self._win_device = (window, self._upload(lo, hi))
+        return self._win_device[1]
 
-            from ..ops.kmers import build_bucket_index
+    def _build_bucket(self, tkeys, nrows: int):
+        import math
 
-            tkeys = self.device_arrays()[0]
-            n = max(len(self), 2)
-            # one bit past table size: mean bucket occupancy ~0.5, so
-            # bisection needs only ~log2(max Poisson bucket) ~ 3 rounds
-            # (each round is a full-batch HBM gather — the probe's
-            # dominant cost)
-            bits = min(max(8, math.ceil(math.log2(n)) + 1), 24, 2 * self.k)
-            starts = build_bucket_index(tkeys, self.k, bits)
-            # device_arrays pads the table with a SENTINEL tail; cap
-            # bucket ends at the real row count so the tail neither
-            # inflates the last bucket nor the bisection round bound
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            starts = jnp.minimum(starts, len(self))
-            counts = np.diff(np.asarray(starts))
-            rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
-            self._bucket = (starts, bits, rounds)
-        return self._bucket
+        from ..ops.kmers import build_bucket_index
+
+        n = max(nrows, 2)
+        # one bit past table size: mean bucket occupancy ~0.5, so
+        # bisection needs only ~log2(max Poisson bucket) ~ 3 rounds
+        # (each round is a full-batch HBM gather — the probe's
+        # dominant cost)
+        bits = min(max(8, math.ceil(math.log2(n)) + 1), 24, 2 * self.k)
+        starts = build_bucket_index(tkeys, self.k, bits)
+        # the device slice is SENTINEL-tail padded; cap bucket ends at
+        # the real row count so the tail neither inflates the last
+        # bucket nor the bisection round bound
+        starts = jnp.minimum(starts, nrows)
+        counts = np.diff(np.asarray(starts))
+        rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
+        return starts, bits, rounds
+
+    def bucket_index(self, window: int | None = None):
+        """(starts, bits, rounds) for the bucketed probe.
+
+        NOTE: with windows, bisection brackets come from searchsorted
+        over the window slice, so out-of-range keys simply never match
+        — no extra masking needed."""
+        if window is None:
+            if self._bucket is None:
+                self._bucket = self._build_bucket(self.device_arrays()[0],
+                                                  len(self))
+            return self._bucket
+        if self._win_bucket is None or self._win_bucket[0] != window:
+            ranges = self.window_ranges()
+            lo, hi = ranges[window]
+            tkeys = self.device_arrays(window)[0]
+            self._win_bucket = (window,
+                                self._build_bucket(tkeys, hi - lo))
+        return self._win_bucket[1]
+
+    def _probe_one(self, arrays, q, bucket):
+        """One probe against one device-resident (sub)table."""
+        from ..ops import kmers as K
+        from ..utils.pallas_gate import pallas_enabled
+
+        tkeys, cov, fw, bw = arrays
+        if pallas_enabled():
+            from ..ops.pallas_kernels import probe_merge_pallas
+
+            return probe_merge_pallas(tkeys, cov, fw, bw, q)
+        if tkeys.shape[0] <= 6 * q.shape[0]:
+            # sort-merge join: cost ~ (t + q), beats the bisection's
+            # per-round gathers whenever the table is not much larger
+            # than the batch (219 ms vs 533 ms at t=8M, q=4M on v5e)
+            return K.probe_merge(tkeys, cov, fw, bw, q)
+        starts, bits, rounds = bucket()
+        return K.probe_bucketed(tkeys, cov, fw, bw, starts, q, self.k,
+                                bits, rounds)
+
+    def probe_device(self, q):
+        """Device-level lookup (found, cov, fw, bw) as device arrays;
+        transparently pages table windows when the table exceeds the
+        device cap (each window probes the full batch; disjoint key
+        ranges mean at most one window finds any query)."""
+        ranges = self.window_ranges()
+        if ranges is None:
+            return self._probe_one(self.device_arrays(), q,
+                                   self.bucket_index)
+        from ..ops.kmers import combine_probe
+
+        acc = None
+        for w in range(len(ranges)):
+            arrays = self.device_arrays(w)
+            res = self._probe_one(arrays, q,
+                                  lambda w=w: self.bucket_index(w))
+            acc = res if acc is None else combine_probe(*acc, *res)
+        return acc
 
     def probe(self, qkeys) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                     np.ndarray]:
         """Vectorized lookup: (found, cov, fw[.,4], bw[.,4])."""
         import jax.numpy as jnp
 
-        from ..ops import kmers as K
-
         if len(self) == 0:
             q = np.asarray(qkeys)
             return (np.zeros(len(q), bool), np.zeros(len(q), np.uint32),
                     np.zeros((len(q), 4), np.uint32),
                     np.zeros((len(q), 4), np.uint32))
-        tkeys, cov, fw, bw = self.device_arrays()
-        q = jnp.asarray(qkeys)
-        from ..utils.pallas_gate import pallas_enabled
-
-        if pallas_enabled():
-            from ..ops.pallas_kernels import probe_merge_pallas
-
-            found, qcov, qfw, qbw = probe_merge_pallas(tkeys, cov, fw,
-                                                       bw, q)
-        elif tkeys.shape[0] <= 6 * q.shape[0]:
-            # sort-merge join: cost ~ (t + q), beats the bisection's
-            # per-round gathers whenever the table is not much larger
-            # than the batch (219 ms vs 533 ms at t=8M, q=4M on v5e)
-            found, qcov, qfw, qbw = K.probe_merge(tkeys, cov, fw, bw, q)
-        else:
-            starts, bits, rounds = self.bucket_index()
-            found, qcov, qfw, qbw = K.probe_bucketed(
-                tkeys, cov, fw, bw, starts, q, self.k, bits, rounds)
+        found, qcov, qfw, qbw = self.probe_device(jnp.asarray(qkeys))
         return (np.asarray(found), np.asarray(qcov), np.asarray(qfw),
                 np.asarray(qbw))
 

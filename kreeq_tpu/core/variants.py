@@ -187,75 +187,105 @@ def variants_to_gfa(dbg, seg) -> None:
         genome.delete_segment(header)
 
 
+def _extract_sentinel(codes, k: int):
+    """K-mer extraction with per-position sentinels for invalid
+    windows (traced; shared by the fused and windowed scan paths).
+
+    Non-ACGT windows: the reference hashes garbage bytes into a
+    key that misses the DB; a distinct per-position sentinel
+    mirrors that.  For k < 32 a high-bit sentinel cannot alias a
+    real key (canonical keys are < 4^k <= 2^62).  At k = 32 keys
+    span the full 64 bits, so use first-base-T | last-base-T
+    values instead: their reverse complement (first-base A at the
+    top) is strictly smaller, so no canonical key — table entry,
+    valid window, or candidate neighbour — can ever equal one."""
+    import jax.numpy as jnp
+
+    from ..ops.kmers import kmer_positions
+
+    p = codes.shape[0] - k + 1
+    keys, isfw, _e, valid = kmer_positions(codes, k)
+    iota = jnp.arange(p, dtype=jnp.uint64)
+    if k < 32:
+        sentinels = jnp.uint64(1 << 63) | iota
+    else:
+        sentinels = (jnp.uint64(3)
+                     | (iota << jnp.uint64(2))
+                     | (jnp.uint64(3) << jnp.uint64(2 * (k - 1))))
+    keys = jnp.where(valid, keys, sentinels)
+    return keys, isfw, valid
+
+
+def _candidate_scan(keys, isfw, found, covs, fws, bws, cutoff, k: int):
+    """Depth-0 candidate-edge scan (traced; shared by both paths).
+    A neighbour's reverse complement is the source rc shifted one base
+    the other way, so one [P] revcomp serves all eight neighbours."""
+    import jax.numpy as jnp
+
+    m = jnp.uint64((1 << (2 * k)) - 1)
+    x = ((~keys) & m) << jnp.uint64(64 - 2 * k)
+    for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
+                   (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
+        mm = jnp.uint64(mm)
+        x = ((x & mm) << jnp.uint64(sh)) | ((x >> jnp.uint64(sh)) & mm)
+    rc = ((x << jnp.uint64(32)) | (x >> jnp.uint64(32))) & m
+
+    bases = jnp.arange(4, dtype=jnp.uint64)[None, :]
+    comp = jnp.uint64(3) - bases
+    top = jnp.uint64(2 * (k - 1))
+    raw_fw = (keys[:, None] >> jnp.uint64(2)) | (bases << top)
+    rc_fw = ((rc[:, None] << jnp.uint64(2)) & m) | comp
+    raw_bw = ((keys[:, None] << jnp.uint64(2)) & m) | bases
+    rc_bw = (rc[:, None] >> jnp.uint64(2)) | (comp << top)
+    cand = jnp.where(isfw[:, None],
+                     jnp.minimum(raw_fw, rc_fw),
+                     jnp.minimum(raw_bw, rc_bw))
+    cond = jnp.where(isfw[:, None], fws > 0, bws > cutoff)
+    ref_next = jnp.concatenate(
+        [keys[1:], jnp.full((1,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    has_candidate = (cond & (cand != ref_next[:, None])).any(axis=1)
+    return keys, isfw, found & has_candidate, covs, fws, bws
+
+
 def _scan_probe_fn():
     """Build the fused device program of dbg_to_variants: k-mer
     extraction, invalid-position sentinels, the batched table probe,
     and the depth-0 candidate scan — ONE dispatch, no intermediate
-    host materialization.  A neighbour's reverse complement is the
-    source rc shifted one base the other way, so one [P] revcomp
-    serves all eight neighbours."""
+    host materialization."""
     from functools import partial
 
     import jax
-    import jax.numpy as jnp
 
-    from ..ops.kmers import kmer_positions, probe_bucketed, probe_merge
+    from ..ops.kmers import probe_bucketed, probe_merge
 
     @partial(jax.jit, static_argnums=(7, 8, 9, 10))
     def f(tkeys, tcov, tfw, tbw, starts, codes, cutoff,
           k, use_merge, bits, rounds):
-        p = codes.shape[0] - k + 1
-        keys, isfw, _e, valid = kmer_positions(codes, k)
-        # non-ACGT windows: the reference hashes garbage bytes into a
-        # key that misses the DB; a distinct per-position sentinel
-        # mirrors that.  For k < 32 a high-bit sentinel cannot alias a
-        # real key (canonical keys are < 4^k <= 2^62).  At k = 32 keys
-        # span the full 64 bits, so use first-base-T | last-base-T
-        # values instead: their reverse complement (first-base A at the
-        # top) is strictly smaller, so no canonical key — table entry,
-        # valid window, or candidate neighbour — can ever equal one.
-        iota = jnp.arange(p, dtype=jnp.uint64)
-        if k < 32:
-            sentinels = jnp.uint64(1 << 63) | iota
-        else:
-            sentinels = (jnp.uint64(3)
-                         | (iota << jnp.uint64(2))
-                         | (jnp.uint64(3) << jnp.uint64(2 * (k - 1))))
-        keys = jnp.where(valid, keys, sentinels)
-
+        keys, isfw, valid = _extract_sentinel(codes, k)
         if use_merge:
             found, covs, fws, bws = probe_merge(tkeys, tcov, tfw, tbw,
                                                 keys)
         else:
             found, covs, fws, bws = probe_bucketed(
                 tkeys, tcov, tfw, tbw, starts, keys, k, bits, rounds)
-        found = found & valid
-
-        m = jnp.uint64((1 << (2 * k)) - 1)
-        x = ((~keys) & m) << jnp.uint64(64 - 2 * k)
-        for sh, mm in ((2, 0x3333333333333333), (4, 0x0F0F0F0F0F0F0F0F),
-                       (8, 0x00FF00FF00FF00FF), (16, 0x0000FFFF0000FFFF)):
-            mm = jnp.uint64(mm)
-            x = ((x & mm) << jnp.uint64(sh)) | ((x >> jnp.uint64(sh)) & mm)
-        rc = ((x << jnp.uint64(32)) | (x >> jnp.uint64(32))) & m
-
-        bases = jnp.arange(4, dtype=jnp.uint64)[None, :]
-        comp = jnp.uint64(3) - bases
-        top = jnp.uint64(2 * (k - 1))
-        raw_fw = (keys[:, None] >> jnp.uint64(2)) | (bases << top)
-        rc_fw = ((rc[:, None] << jnp.uint64(2)) & m) | comp
-        raw_bw = ((keys[:, None] << jnp.uint64(2)) & m) | bases
-        rc_bw = (rc[:, None] >> jnp.uint64(2)) | (comp << top)
-        cand = jnp.where(isfw[:, None],
-                         jnp.minimum(raw_fw, rc_fw),
-                         jnp.minimum(raw_bw, rc_bw))
-        cond = jnp.where(isfw[:, None], fws > 0, bws > cutoff)
-        ref_next = jnp.concatenate(
-            [keys[1:], jnp.full((1,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
-        has_candidate = (cond & (cand != ref_next[:, None])).any(axis=1)
-        return keys, isfw, found & has_candidate, covs, fws, bws
+        return _candidate_scan(keys, isfw, found & valid, covs, fws,
+                               bws, cutoff, k)
 
     return f
+
+
+def _scan_probe_windowed(table, codes_d, cutoff, k: int):
+    """The scan-probe with the table probe routed through the
+    out-of-core window pager (KmerTable.probe_device)."""
+    from functools import partial
+
+    import jax
+
+    extract = jax.jit(_extract_sentinel, static_argnums=(1,))
+    keys, isfw, valid = extract(codes_d, k)
+    found, covs, fws, bws = table.probe_device(keys)
+    scan = jax.jit(partial(_candidate_scan, k=k))
+    return scan(keys, isfw, found & valid, covs, fws, bws, cutoff)
 
 
 _scan_probe = None
@@ -304,16 +334,21 @@ def dbg_to_variants(dbg, seg) -> None:
     pad = max(64, 1 << int(np.ceil(np.log2(ln))))
     cbuf = np.full(pad, 4, np.uint8)
     cbuf[:ln] = codes
-    tkeys, tcov, tfw, tbw = table.device_arrays()
-    use_merge = tkeys.shape[0] <= 6 * (pad - k + 1)
-    if use_merge:
-        bits, rounds = 8, 1
-        starts = jnp.zeros((1 << bits) + 1, jnp.int32)
+    if table.window_ranges() is not None:
+        all_keys_d, isfw_d, search_d, covs, fws, bws = \
+            _scan_probe_windowed(table, jnp.asarray(cbuf),
+                                 jnp.uint32(cutoff), k)
     else:
-        starts, bits, rounds = table.bucket_index()
-    all_keys_d, isfw_d, search_d, covs, fws, bws = _scan_probe(
-        tkeys, tcov, tfw, tbw, starts, jnp.asarray(cbuf),
-        jnp.uint32(cutoff), k, use_merge, bits, rounds)
+        tkeys, tcov, tfw, tbw = table.device_arrays()
+        use_merge = tkeys.shape[0] <= 6 * (pad - k + 1)
+        if use_merge:
+            bits, rounds = 8, 1
+            starts = jnp.zeros((1 << bits) + 1, jnp.int32)
+        else:
+            starts, bits, rounds = table.bucket_index()
+        all_keys_d, isfw_d, search_d, covs, fws, bws = _scan_probe(
+            tkeys, tcov, tfw, tbw, starts, jnp.asarray(cbuf),
+            jnp.uint32(cutoff), k, use_merge, bits, rounds)
     all_keys = np.asarray(all_keys_d)  # host: targets windows need all
     all_isfw = np.asarray(isfw_d)
     keys_c = all_keys[:kcount]

@@ -427,6 +427,18 @@ def probe_merge(tkeys, cov, fw, bw, qkeys):
 
 
 @jax.jit
+def combine_probe(f1, c1, fw1, bw1, f2, c2, fw2, bw2):
+    """Combine probe results from two DISJOINT table windows (at most
+    one side can find any query) — the accumulator of out-of-core
+    window paging (KmerTable.probe_device; reference analog:
+    src/kreeq.cpp:59-76 map-range rescans)."""
+    return (f1 | f2,
+            jnp.where(f2, c2, c1),
+            jnp.where(f2[:, None], fw2, fw1),
+            jnp.where(f2[:, None], bw2, bw1))
+
+
+@jax.jit
 def probe_sorted(tkeys, cov, fw, bw, qkeys):
     """Batched membership + payload gather against a sorted table.
 

@@ -495,6 +495,145 @@ def _pack_table(tkeys, cov, fw, bw):
 
 
 # ---------------------------------------------------------------------------
+# Select-probe: the validate fast path
+# ---------------------------------------------------------------------------
+# probe_merge_pallas restores query order with a [q, LCOL] row gather —
+# measured 173 ms at q=4M on v5e, 3x the kernel itself (random HBM row
+# gathers run at ~25-40 M rows/s regardless of row width; see
+# scripts/bench_probe_stages.py).  The validate workload only consumes
+# FOUR values per position — found, cov, and the two edge counters the
+# classifier selects by the neighbour bases (reference:
+# src/kreeq.cpp:177-210) — so the fast path carries an 8-bit selection
+# context through the query sort, picks the two columns right after the
+# kernel, and restores query order with ONE keyed sort of
+# (u32 idx-key, u64, u32) instead of the gather.
+
+
+@jax.jit
+def _probe_prep_sel(tkeys, qkeys, qctx):
+    """Sort queries by key, carrying original index + selection context
+    in the payload word: lo = key_low32 << 32 | ctx8 << 24 | idx24.
+    Returns per-tile table chunk spans like _probe_prep."""
+    from .kmers import SENTINEL
+
+    q = qkeys.shape[0]
+    qpad = (-q) % TILE
+    never = jnp.uint64(0xFFFFFFFFFFFFFFFE)
+    qk = jnp.where(qkeys == SENTINEL, never, qkeys)
+    qk = jnp.concatenate([qk, jnp.full((qpad,), SENTINEL, jnp.uint64)])
+    ctx = jnp.concatenate([qctx.astype(jnp.uint64) & jnp.uint64(0xFF),
+                           jnp.zeros((qpad,), jnp.uint64)])
+    idx = jnp.concatenate([
+        jnp.arange(q, dtype=jnp.uint64),
+        jnp.full((qpad,), (1 << 24) - 1, jnp.uint64)])
+    hi = (qk >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (qk << jnp.uint64(32)) | (ctx << jnp.uint64(24)) | idx
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    sq = (shi.astype(jnp.uint64) << jnp.uint64(32)) \
+        | (slo >> jnp.uint64(32))
+    sq = jnp.where(sq == SENTINEL, never, sq)  # pads: never match
+    sctx = ((slo >> jnp.uint64(24)) & jnp.uint64(0xFF)).astype(jnp.int32)
+    sidx = (slo & jnp.uint64((1 << 24) - 1)).astype(jnp.uint32)
+
+    qhi = (sq >> jnp.uint64(32)).astype(jnp.int32)[:, None]
+    qlo = sq.astype(jnp.int32)[:, None]
+
+    tile_min = sq[::TILE]
+    tile_max = sq[TILE - 1::TILE]
+    b_idx = jnp.searchsorted(tkeys, tile_min, side="left")
+    h_idx = jnp.searchsorted(tkeys, tile_max, side="right")
+    tchunks = max((tkeys.shape[0] + TILE - 1) // TILE, 1)
+    base = jnp.minimum(b_idx // TILE, tchunks - 1).astype(jnp.int32)
+    last = jnp.clip((h_idx - 1) // TILE, base, tchunks - 1) \
+        .astype(jnp.int32)
+    nch = jnp.where(h_idx > b_idx, last - base + 1, 0).astype(jnp.int32)
+    return sidx, sctx, qhi, qlo, base, nch
+
+
+@jax.jit
+def _probe_post_sel(out, sidx, sctx):
+    """Column-select by context, then restore query order with one
+    keyed sort (no gather).  Returns (found, cov, right, left) padded
+    to the sorted length; caller slices [:q]."""
+    lo16 = out[:PCOL].astype(jnp.uint32)  # [16, qpad]
+    hi16 = out[PCOL:].astype(jnp.uint32)
+    vals = lo16 | (hi16 << jnp.uint32(16))
+    found = vals[15] > 0
+    row_r = sctx & 0xF  # 1..8 into vals rows (1-4 fw, 5-8 bw)
+    row_l = (sctx >> 4) & 0xF
+    zero = jnp.zeros_like(vals[0])
+    right = zero
+    left = zero
+    for j in range(1, 9):
+        right = right + jnp.where(row_r == j, vals[j], 0)
+        left = left + jnp.where(row_l == j, vals[j], 0)
+    # restore: key = idx<<1 | found (idx distinct, so order == idx
+    # order); payloads (cov | right << 32, left)
+    key = (sidx << jnp.uint32(1)) | found.astype(jnp.uint32)
+    p0 = vals[0].astype(jnp.uint64) \
+        | (right.astype(jnp.uint64) << jnp.uint64(32))
+    sk, sp0, sp1 = jax.lax.sort((key, p0, left), num_keys=1)
+    found = (sk & jnp.uint32(1)).astype(bool)
+    cov = (sp0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    right = (sp0 >> jnp.uint64(32)).astype(jnp.uint32)
+    return found, cov, right, sp1
+
+
+def probe_select_pallas(tkeys, cov, fw, bw, qkeys, qctx):
+    """Context-selected probe: (found, cov, right, left) in query
+    order, where qctx packs the two vals-row selectors
+    (bits 0-3 = right row 1..8, bits 4-7 = left row 1..8).
+
+    Same wrapper structure as probe_merge_pallas (max-span readback
+    for the static grid depth, weakref-cached packed table)."""
+    q = qkeys.shape[0]
+    if q == 0 or tkeys.shape[0] == 0 or q > (1 << 24) - TILE:
+        # fall back through the generic probe + XLA selection
+        from .kmers import probe_merge
+
+        found, pcov, pfw, pbw = (
+            probe_merge_pallas(tkeys, cov, fw, bw, qkeys)
+            if 0 < q <= (1 << 26) - TILE and tkeys.shape[0] > 0
+            else probe_merge(tkeys, cov, fw, bw, qkeys))
+        return _select_xla(found, pcov, pfw, pbw, qctx)
+    sidx, sctx, qhi, qlo, base, nch = _probe_prep_sel(tkeys, qkeys, qctx)
+    dmax = _grid_depth(nch)
+
+    import weakref
+
+    cached = _probe_tbl_cache.get("entry")
+    src = cached[0]() if cached is not None else None
+    if src is tkeys and src is not None:
+        thi, tlo, pay = cached[1]
+    else:
+        if cached is not None and src is None:
+            _probe_tbl_cache.clear()
+        thi, tlo, pay = _pack_table(tkeys, cov, fw, bw)
+        _probe_tbl_cache["entry"] = (weakref.ref(tkeys), (thi, tlo, pay))
+
+    nq_tiles = qhi.shape[0] // TILE
+    out = _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                     base=base, nch=nch)
+    found, pcov, right, left = _probe_post_sel(out, sidx, sctx)
+    return found[:q], pcov[:q], right[:q], left[:q]
+
+
+@jax.jit
+def _select_xla(found, cov, fw, bw, qctx):
+    """The same context selection applied to a generic probe result."""
+    row_r = (qctx & 0xF).astype(jnp.int32)
+    row_l = ((qctx >> 4) & 0xF).astype(jnp.int32)
+    cols = jnp.concatenate([cov[:, None], fw, bw], axis=1)  # [q, 9]
+    lanes = jnp.arange(9, dtype=jnp.int32)[None, :]
+
+    def pick(idx):
+        return jnp.where(lanes == idx[:, None], cols,
+                         jnp.uint32(0)).sum(axis=1, dtype=jnp.uint32)
+
+    return found, cov, pick(row_r), pick(row_l)
+
+
+# ---------------------------------------------------------------------------
 # Streaming union/merge kernel
 # ---------------------------------------------------------------------------
 # merge_sorted (ops/kmers.py) — the engine behind `kreeq union` and

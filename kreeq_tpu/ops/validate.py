@@ -105,6 +105,16 @@ def _classify_jit(codes, probe, k: int, cutoff: int, isfw=None,
     return _classify(codes, k, cutoff, isfw, valid, found, cov, fw, bw)
 
 
+def validate_positions_table(table, codes, k: int, cutoff: int):
+    """validate_positions with the probe routed through
+    KmerTable.probe_device — transparently pages table windows when
+    the table exceeds the device cap (reference analog: the map-range
+    rescan loop, src/kreeq.cpp:59-76)."""
+    keys, isfw, _edges, valid = _extract(codes, k)
+    probe = table.probe_device(keys)
+    return _classify_jit(codes, probe, k, cutoff, isfw=isfw, valid=valid)
+
+
 def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
                               cutoff: int):
     """validate_positions with the probe running through the Pallas
