@@ -189,6 +189,46 @@ def main() -> None:
             pass
     probe_rate = (pchunk - k + 1) / dt_probe
 
+    # merge/union: the engine behind `kreeq union` and from_reads' tree
+    # merges (reference workload: src/graph-builder.cpp:297-432).
+    # Two disjoint-ish 4M-row tables -> 8M-row union.
+    from kreeq_tpu.ops.kmers import merge_sorted
+
+    h = tkeys.shape[0] // 2
+    margs = (tkeys[:h], cov[:h], fw[:h], bw[:h],
+             tkeys[h:2 * h], cov[h:2 * h], fw[h:2 * h], bw[h:2 * h])
+
+    def time_merge(step):
+        # chain via the cov payload (keys untouched, so the key-driven
+        # merge work is representative while the relay can't elide
+        # repeated identical calls)
+        a = margs
+        out = step(*a)
+        _ = int(out[4])
+        for _ in range(2):
+            a = (a[0], a[1] ^ (out[1][0] | jnp.uint32(1)), *a[2:])
+            out = step(*a)
+        _ = int(out[4])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            a = (a[0], a[1] ^ (out[1][0] | jnp.uint32(1)), *a[2:])
+            out = step(*a)
+        _ = int(out[4])
+        return (time.perf_counter() - t0) / iters
+
+    dt_merge = time_merge(jax.jit(merge_sorted))
+    merge_path = "xla"
+    if pallas_ok:
+        from kreeq_tpu.ops.pallas_kernels import merge_sorted_pallas
+
+        try:
+            dt_mp = time_merge(merge_sorted_pallas)
+            if dt_mp < dt_merge:
+                dt_merge, merge_path = dt_mp, "pallas"
+        except Exception:  # noqa: BLE001 — never lose the artifact
+            pass
+    merge_rate = 2 * h / dt_merge
+
     # measured reference-style CPU oracle on this host's 4 cores
     # (tools/cpu_oracle, BASELINE.md): 29.3M counted/s, 66.5M probed/s
     ORACLE_COUNT = 29.3e6
@@ -209,6 +249,9 @@ def main() -> None:
             "probe_step_ms": round(dt_probe * 1e3, 2),
             "count_path": count_path,
             "probe_path": probe_path,
+            "merge_kmers_per_s": round(merge_rate),
+            "merge_step_ms": round(dt_merge * 1e3, 2),
+            "merge_path": merge_path,
             "pallas_onchip_ok": pallas_ok,
         },
     }

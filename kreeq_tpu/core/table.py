@@ -118,14 +118,16 @@ class KmerTable:
         read_files = list(read_files)
         if mesh is None and len(jax.devices()) > 1:
             # auto-shard only when the workload amortizes the SPMD
-            # dispatch (tiny inputs are faster single-device)
-            try:
-                import os
+            # dispatch (tiny inputs are faster single-device);
+            # KREEQ_TPU_FORCE_SHARDED=1 overrides for parity tests
+            import os
 
+            try:
                 total = sum(os.path.getsize(p) for p in read_files)
             except (OSError, TypeError):
                 total = 0
-            if total > 8 * chunk:
+            if (total > 8 * chunk
+                    or os.environ.get("KREEQ_TPU_FORCE_SHARDED") == "1"):
                 from ..parallel.sharded import make_mesh
 
                 mesh = make_mesh()

@@ -293,9 +293,21 @@ def count_sorted_pallas(keys, edges, valid):
 # tables: a table much larger than the query batch is only read where
 # queries can land, so the bucketed-bisection fallback's ~log2 rounds
 # of HBM gathers disappear as well.
+#
+# Payload extraction splits the 9 u32 columns into u8 limbs so the
+# one-hot contraction runs at DEFAULT precision (single-pass bf16,
+# exact for 0/1 masks x values <= 255): the round-2 u16-limb kernel
+# needed the 6-pass HIGHEST decomposition and was MXU-bound at 55 ms
+# per 4M queries; u8 limbs double the rows but cut passes 6x.
 
 PCOL = 16  # payload i32 rows: cov, fw0-3, bw0-3, zeros, row15 = 1
-LCOL = 32  # u16 limb rows (lo limbs 0-15, hi limbs 16-31)
+NROW = 40  # 36 u8 limb rows (9 cols x 4, grouped by limb) + marker + pad
+# Probe tile sizes: larger than the count/merge TILE because the probe
+# grid's cost is dominated by per-step orchestration (~0.8 us/step on
+# v5e: 64K steps of 256x256 ran in 51 ms with the MXU work itself worth
+# ~5 ms).  1024x1024 visits cut the grid ~5x at ~5 MB VMEM.
+QT = 1024  # queries per tile
+TT = 1024  # table rows per chunk
 
 
 def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
@@ -305,22 +317,28 @@ def _probe_kernel(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref, tlo_ref,
 
     @pl.when(j == 0)
     def _():
-        out_ref[:, :] = jnp.zeros((LCOL, TILE), jnp.float32)
+        out_ref[:, :] = jnp.zeros((NROW, QT), jnp.float32)
 
     @pl.when(j < nch_ref[i])
     def _():
-        # [TILE,1] query halves vs [1,TILE] table halves -> [TILE,TILE]
+        # [QT,1] query halves vs [1,TT] table halves -> [QT,TT]
         eq = ((qhi_ref[:, :] == thi_ref[:, :])
               & (qlo_ref[:, :] == tlo_ref[:, :])).astype(jnp.float32)
         pay = pay_ref[:, :]
+        p9 = pay[:9, :]
+
+        def limb(sh):
+            return (jax.lax.shift_right_logical(
+                p9, jnp.full_like(p9, sh)) & 0xFF).astype(jnp.float32)
+
         limbs = jnp.concatenate(
-            [(pay & 0xFFFF).astype(jnp.float32),
-             (jax.lax.shift_right_logical(pay, jnp.full_like(pay, 16))
-              & 0xFFFF).astype(jnp.float32)], axis=0)  # [LCOL, TILE]
-        # res[c, a] = limb c of the table row matching query a (or 0)
+            [limb(0), limb(8), limb(16), limb(24),
+             pay[15:16, :].astype(jnp.float32),
+             jnp.zeros((NROW - 37, TT), jnp.float32)], axis=0)
+        # res[c, a] = limb c of the table row matching query a (or 0);
+        # one-hot x u8 values: exact at single-pass bf16
         res = jax.lax.dot_general(limbs, eq, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=_EXACT)
+                                  preferred_element_type=jnp.float32)
         out_ref[:, :] += res
 
 
@@ -335,7 +353,7 @@ def _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles: int, dmax: int,
 
 
 def _probe_run_x32(qhi, qlo, thi, tlo, pay, nq_tiles, dmax, base, nch):
-    tchunks = thi.shape[1] // TILE
+    tchunks = thi.shape[1] // TT
 
     def qmap(i, j, b, n):
         del j, b, n
@@ -355,18 +373,18 @@ def _probe_run_x32(qhi, qlo, thi, tlo, pay, nq_tiles, dmax, base, nch):
         num_scalar_prefetch=2,
         grid=(nq_tiles, dmax),
         in_specs=[
-            pl.BlockSpec((TILE, 1), qmap),
-            pl.BlockSpec((TILE, 1), qmap),
-            pl.BlockSpec((1, TILE), tmap),
-            pl.BlockSpec((1, TILE), tmap),
-            pl.BlockSpec((PCOL, TILE), tmap),
+            pl.BlockSpec((QT, 1), qmap),
+            pl.BlockSpec((QT, 1), qmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((PCOL, TT), tmap),
         ],
-        out_specs=pl.BlockSpec((LCOL, TILE), omap),
+        out_specs=pl.BlockSpec((NROW, QT), omap),
     )
     return pl.pallas_call(
         _probe_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((LCOL, nq_tiles * TILE),
+        out_shape=jax.ShapeDtypeStruct((NROW, nq_tiles * QT),
                                        jnp.float32),
         interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
     )(base, nch, qhi, qlo, thi, tlo, pay)
@@ -380,7 +398,7 @@ def _probe_prep(tkeys, qkeys):
     from .kmers import SENTINEL
 
     q = qkeys.shape[0]
-    qpad = (-q) % TILE
+    qpad = (-q) % QT
     # invalid/sentinel queries can never match a table row, and pads
     # must sort last AND carry a last-position index for the restore
     never = jnp.uint64(0xFFFFFFFFFFFFFFFE)
@@ -400,15 +418,7 @@ def _probe_prep(tkeys, qkeys):
     qhi = (sq >> jnp.uint64(32)).astype(jnp.int32)[:, None]
     qlo = sq.astype(jnp.int32)[:, None]
 
-    tile_min = sq[::TILE]
-    tile_max = sq[TILE - 1::TILE]
-    b_idx = jnp.searchsorted(tkeys, tile_min, side="left")
-    h_idx = jnp.searchsorted(tkeys, tile_max, side="right")
-    tchunks = max((tkeys.shape[0] + TILE - 1) // TILE, 1)
-    base = jnp.minimum(b_idx // TILE, tchunks - 1).astype(jnp.int32)
-    last = jnp.clip((h_idx - 1) // TILE, base, tchunks - 1) \
-        .astype(jnp.int32)
-    nch = jnp.where(h_idx > b_idx, last - base + 1, 0).astype(jnp.int32)
+    base, nch = _tile_spans(tkeys, sq)
     return sq, sidx, qhi, qlo, base, nch
 
 
@@ -420,11 +430,13 @@ def _probe_post(out, sidx):
     v = (sidx.astype(jnp.uint64) << jnp.uint64(26)) \
         | jnp.arange(qpad, dtype=jnp.uint64)
     perm = (jax.lax.sort(v) & jnp.uint64((1 << 26) - 1)).astype(jnp.int32)
-    rows = jnp.take(out.T, perm, axis=0, unique_indices=True)  # [qpad,32]
-    lo16 = rows[:, :PCOL].astype(jnp.uint32)
-    hi16 = rows[:, PCOL:].astype(jnp.uint32)
-    vals = lo16 | (hi16 << jnp.uint32(16))
-    found = vals[:, 15] > 0
+    rows = jnp.take(out.T, perm, axis=0,
+                    unique_indices=True)  # [qpad, NROW]
+    u = rows.astype(jnp.uint32)
+    vals = (u[:, 0:9] | (u[:, 9:18] << jnp.uint32(8))
+            | (u[:, 18:27] << jnp.uint32(16))
+            | (u[:, 27:36] << jnp.uint32(24)))
+    found = u[:, 36] > 0
     cov = jnp.where(found, vals[:, 0], 0)
     fw = jnp.where(found[:, None], vals[:, 1:5], 0)
     bw = jnp.where(found[:, None], vals[:, 5:9], 0)
@@ -445,7 +457,7 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
         z = jnp.zeros((q,), jnp.uint32)
         z4 = jnp.zeros((q, 4), jnp.uint32)
         return jnp.zeros((q,), bool), z, z4, z4
-    if q > (1 << 26) - TILE:  # index rides in 26 bits of the sort key
+    if q > (1 << 26) - QT:  # index rides in 26 bits of the sort key
         from .kmers import probe_merge
 
         return probe_merge(tkeys, cov, fw, bw, qkeys)
@@ -467,7 +479,7 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
         thi, tlo, pay = _pack_table(tkeys, cov, fw, bw)
         _probe_tbl_cache["entry"] = (weakref.ref(tkeys), (thi, tlo, pay))
 
-    nq_tiles = sq.shape[0] // TILE
+    nq_tiles = sq.shape[0] // QT
     out = _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
                      base=base, nch=nch)
     found, pcov, pfw, pbw = _probe_post(out, sidx)
@@ -477,7 +489,7 @@ def probe_merge_pallas(tkeys, cov, fw, bw, qkeys):
 @jax.jit
 def _pack_table(tkeys, cov, fw, bw):
     t = tkeys.shape[0]
-    tpad = (-t) % TILE
+    tpad = (-t) % TT
     tk = jnp.concatenate(
         [tkeys, jnp.full((tpad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
     thi = (tk >> jnp.uint64(32)).astype(jnp.int32)[None, :]
@@ -517,7 +529,7 @@ def _probe_prep_sel(tkeys, qkeys, qctx):
     from .kmers import SENTINEL
 
     q = qkeys.shape[0]
-    qpad = (-q) % TILE
+    qpad = (-q) % QT
     never = jnp.uint64(0xFFFFFFFFFFFFFFFE)
     qk = jnp.where(qkeys == SENTINEL, never, qkeys)
     qk = jnp.concatenate([qk, jnp.full((qpad,), SENTINEL, jnp.uint64)])
@@ -538,16 +550,29 @@ def _probe_prep_sel(tkeys, qkeys, qctx):
     qhi = (sq >> jnp.uint64(32)).astype(jnp.int32)[:, None]
     qlo = sq.astype(jnp.int32)[:, None]
 
-    tile_min = sq[::TILE]
-    tile_max = sq[TILE - 1::TILE]
-    b_idx = jnp.searchsorted(tkeys, tile_min, side="left")
-    h_idx = jnp.searchsorted(tkeys, tile_max, side="right")
-    tchunks = max((tkeys.shape[0] + TILE - 1) // TILE, 1)
-    base = jnp.minimum(b_idx // TILE, tchunks - 1).astype(jnp.int32)
-    last = jnp.clip((h_idx - 1) // TILE, base, tchunks - 1) \
-        .astype(jnp.int32)
-    nch = jnp.where(h_idx > b_idx, last - base + 1, 0).astype(jnp.int32)
+    base, nch = _tile_spans(tkeys, sq)
     return sidx, sctx, qhi, qlo, base, nch
+
+
+def _tile_spans(tkeys, sq):
+    """Per-query-tile table chunk spans via the downsampled chunk-first
+    keys: bisecting tkeys[::TT] (8K entries at t=8M) instead of the
+    full table cuts the span computation's gather rounds.  Spans are
+    conservative to <= one extra leading chunk (base may start one
+    chunk early when a tile's min lands mid-chunk past its last key);
+    the kernel only requires coverage, not tightness."""
+    tchunks = max((tkeys.shape[0] + TT - 1) // TT, 1)
+    tk_ds = tkeys[::TT]  # first key of each chunk
+    tile_min = sq[::QT]
+    tile_max = sq[QT - 1::QT]
+    base = jnp.clip(
+        jnp.searchsorted(tk_ds, tile_min, side="right") - 1,
+        0, tchunks - 1).astype(jnp.int32)
+    last = jnp.clip(
+        jnp.searchsorted(tk_ds, tile_max, side="right") - 1,
+        base, tchunks - 1).astype(jnp.int32)
+    nch = (last - base + 1).astype(jnp.int32)
+    return base, nch
 
 
 @jax.jit
@@ -555,10 +580,11 @@ def _probe_post_sel(out, sidx, sctx):
     """Column-select by context, then restore query order with one
     keyed sort (no gather).  Returns (found, cov, right, left) padded
     to the sorted length; caller slices [:q]."""
-    lo16 = out[:PCOL].astype(jnp.uint32)  # [16, qpad]
-    hi16 = out[PCOL:].astype(jnp.uint32)
-    vals = lo16 | (hi16 << jnp.uint32(16))
-    found = vals[15] > 0
+    u = out.astype(jnp.uint32)  # [NROW, qpad]
+    vals = (u[0:9] | (u[9:18] << jnp.uint32(8))
+            | (u[18:27] << jnp.uint32(16))
+            | (u[27:36] << jnp.uint32(24)))
+    found = u[36] > 0
     row_r = sctx & 0xF  # 1..8 into vals rows (1-4 fw, 5-8 bw)
     row_l = (sctx >> 4) & 0xF
     zero = jnp.zeros_like(vals[0])
@@ -587,7 +613,7 @@ def probe_select_pallas(tkeys, cov, fw, bw, qkeys, qctx):
     Same wrapper structure as probe_merge_pallas (max-span readback
     for the static grid depth, weakref-cached packed table)."""
     q = qkeys.shape[0]
-    if q == 0 or tkeys.shape[0] == 0 or q > (1 << 24) - TILE:
+    if q == 0 or tkeys.shape[0] == 0 or q > (1 << 24) - QT:
         # fall back through the generic probe + XLA selection
         from .kmers import probe_merge
 
@@ -611,7 +637,7 @@ def probe_select_pallas(tkeys, cov, fw, bw, qkeys, qctx):
         thi, tlo, pay = _pack_table(tkeys, cov, fw, bw)
         _probe_tbl_cache["entry"] = (weakref.ref(tkeys), (thi, tlo, pay))
 
-    nq_tiles = qhi.shape[0] // TILE
+    nq_tiles = qhi.shape[0] // QT
     out = _probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
                      base=base, nch=nch)
     found, pcov, right, left = _probe_post_sel(out, sidx, sctx)

@@ -115,17 +115,62 @@ def validate_positions_table(table, codes, k: int, cutoff: int):
     return _classify_jit(codes, probe, k, cutoff, isfw=isfw, valid=valid)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _extract_ctx(codes, k: int):
+    """Extraction + the per-position selection context for the
+    select-probe: ctx bits 0-3 = right vals-row (1-4 fw, 5-8 bw),
+    bits 4-7 = left vals-row — the same column choice _classify's
+    pick() makes (right = isfw ? fw[nc] : bw[3-nc], left = isfw ?
+    bw[pc] : fw[3-pc], reference: src/kreeq.cpp:177-210)."""
+    keys, isfw, _edges, valid = kmer_positions(codes, k)
+    p = keys.shape[0]
+    nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
+    prv = jnp.concatenate([jnp.full((1,), 4, jnp.uint8), codes[: p - 1]])
+    nc = (nxt & 3).astype(jnp.int32)
+    pc = (prv & 3).astype(jnp.int32)
+    row_r = jnp.where(isfw, 1 + nc, 5 + (3 - nc))
+    row_l = jnp.where(isfw, 5 + pc, 1 + (3 - pc))
+    ctx = (row_r | (row_l << 4)).astype(jnp.uint32)
+    return keys, isfw, valid, ctx
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _classify_sel(codes, sel, k: int, cutoff: int, isfw=None, valid=None):
+    """_classify semantics over a context-selected probe result
+    (found, cov, right, left already column-selected)."""
+    found, cov, right, left = sel
+    n = codes.shape[0]
+    p = n - k + 1
+    found = found & valid
+    nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
+    prv = jnp.concatenate([jnp.full((1,), 4, jnp.uint8), codes[: p - 1]])
+    has_next = nxt <= 3
+    has_prev = prv <= 3
+    right = jnp.where(found & has_next, right, 0)
+    left = jnp.where(found & has_prev, left, 0)
+    cov = jnp.where(found, cov, 0)
+    missing = (cov == 0) | (cov < jnp.uint32(cutoff))
+    no_right = has_next & (right == 0)
+    no_left = has_prev & (left == 0)
+    edge_missing = valid & ~missing & no_left & no_right
+    right = jnp.where(missing, 0, right)
+    left = jnp.where(missing, 0, left)
+    return valid, missing, edge_missing, cov, isfw, right, left
+
+
 def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
                               cutoff: int):
     """validate_positions with the probe running through the Pallas
-    streaming merge kernel (ops/pallas_kernels.probe_merge_pallas).
+    streaming merge kernel + context selection + keyed-sort restore
+    (ops/pallas_kernels.probe_select_pallas) — the row-gather-free
+    fast path.
 
     Host-level: the kernel wrapper reads back the max table-chunk span
     per query tile to pick its static grid depth, so this cannot live
     inside one jit.  Same outputs as validate_positions.
     """
-    from .pallas_kernels import probe_merge_pallas
+    from .pallas_kernels import probe_select_pallas
 
-    keys, isfw, _edges, valid = _extract(codes, k)
-    probe = probe_merge_pallas(tkeys, tcov, tfw, tbw, keys)
-    return _classify_jit(codes, probe, k, cutoff, isfw=isfw, valid=valid)
+    keys, isfw, valid, ctx = _extract_ctx(codes, k)
+    sel = probe_select_pallas(tkeys, tcov, tfw, tbw, keys, ctx)
+    return _classify_sel(codes, sel, k, cutoff, isfw=isfw, valid=valid)

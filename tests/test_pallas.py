@@ -166,6 +166,50 @@ def test_pallas_validate_path_golden(monkeypatch):
     assert buf.getvalue().rstrip("\n") == golden.rstrip("\n")
 
 
+@pytest.mark.parametrize("seed,n,badp,k", [
+    (0, 9000, 0.02, 21),
+    (1, 5000, 0.0, 31),
+    (2, 4000, 0.1, 15),
+    (3, 3000, 0.0, 32),   # full-width keys
+])
+def test_pallas_validate_select_matches_xla(seed, n, badp, k):
+    """The select-probe fast path (ctx-carrying sort + column select +
+    keyed-sort restore) must match the fused XLA validate classifier
+    on every output."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import (build_bucket_index, count_sorted,
+                                     kmer_positions)
+    from kreeq_tpu.ops.validate import (validate_positions,
+                                        validate_positions_pallas)
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, n).astype(np.uint8)
+    keys, _i, edges, valid = kmer_positions(jnp.asarray(genome), k)
+    tkeys, cov, fw, bw, cnt = count_sorted(keys, edges, valid)
+    cnt = int(cnt)
+    tkeys, cov, fw, bw = (a[:cnt] for a in (tkeys, cov, fw, bw))
+
+    codes = rng.integers(0, 4, n // 2).astype(np.uint8)
+    # splice in genome windows (hits) and BAD bases (invalid windows)
+    codes[: n // 4] = genome[: n // 4]
+    codes[rng.random(n // 2) < badp] = 4
+    codes_d = jnp.asarray(codes)
+
+    bits = max(8, int(np.ceil(np.log2(cnt))) + 1)
+    bits = min(bits, 2 * k)
+    starts = build_bucket_index(tkeys, k, bits)
+    counts = np.diff(np.asarray(starts))
+    rounds = max(1, int(np.ceil(np.log2(counts.max() + 1))))
+    ref = validate_positions(tkeys, cov, fw, bw, starts, codes_d, k, 0,
+                             bits, rounds, True)
+    got = validate_positions_pallas(tkeys, cov, fw, bw, codes_d, k, 0)
+    names = ("valid", "missing", "edge_missing", "cov", "isfw", "right",
+             "left")
+    for name, a, b in zip(names, ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+
 def test_pallas_probe_empty_inputs():
     import jax.numpy as jnp
 
