@@ -155,6 +155,12 @@ def load_graph(ui: UserInput):
 
 
 def run(argv: List[str]) -> int:
+    if len(argv) > 1 and argv[1] == "warmup":
+        # pre-compile the standard shape grid into the persistent
+        # cache (cold-start mitigation; PERFORMANCE.md)
+        from .warmup import run as warmup_run
+
+        return warmup_run(argv)
     ui = parse_args(argv)
 
     from ..core.dbg import DBG

@@ -158,19 +158,57 @@ def _classify_sel(codes, sel, k: int, cutoff: int, isfw=None, valid=None):
     return valid, missing, edge_missing, cov, isfw, right, left
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _prep_sel_fused(tkeys, codes, k: int):
+    """ONE dispatch: extraction + selection context + query sort +
+    per-tile table spans (the nested jitted callees inline)."""
+    from .pallas_kernels import _probe_prep_sel
+
+    keys, isfw, valid, ctx = _extract_ctx(codes, k)
+    sidx, sctx, qhi, qlo, base, nch = _probe_prep_sel(tkeys, keys, ctx)
+    return sidx, sctx, qhi, qlo, base, nch, isfw, valid
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _post_sel_fused(out, sidx, sctx, isfw, valid, k: int, cutoff: int,
+                    codes=None):
+    """ONE dispatch: limb unpack + column select + keyed-sort restore +
+    QV classification."""
+    from .pallas_kernels import _probe_post_sel
+
+    p = codes.shape[0] - k + 1
+    found, cov, right, left = (a[:p] for a in
+                               _probe_post_sel(out, sidx, sctx))
+    return _classify_sel(codes, (found, cov, right, left), k, cutoff,
+                         isfw=isfw, valid=valid)
+
+
 def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
                               cutoff: int):
     """validate_positions with the probe running through the Pallas
-    streaming merge kernel + context selection + keyed-sort restore
-    (ops/pallas_kernels.probe_select_pallas) — the row-gather-free
-    fast path.
+    streaming merge kernel + context selection + keyed-sort restore —
+    the row-gather-free fast path, 2 XLA dispatches + the kernel.
 
     Host-level: the kernel wrapper reads back the max table-chunk span
     per query tile to pick its static grid depth, so this cannot live
     inside one jit.  Same outputs as validate_positions.
     """
-    from .pallas_kernels import probe_select_pallas
+    from . import pallas_kernels as PK
 
-    keys, isfw, valid, ctx = _extract_ctx(codes, k)
-    sel = probe_select_pallas(tkeys, tcov, tfw, tbw, keys, ctx)
-    return _classify_sel(codes, sel, k, cutoff, isfw=isfw, valid=valid)
+    q = codes.shape[0] - k + 1
+    if q <= 0 or tkeys.shape[0] == 0 or q > (1 << 24) - PK.QT:
+        from .pallas_kernels import probe_select_pallas
+
+        keys, isfw, valid, ctx = _extract_ctx(codes, k)
+        sel = probe_select_pallas(tkeys, tcov, tfw, tbw, keys, ctx)
+        return _classify_sel(codes, sel, k, cutoff, isfw=isfw,
+                             valid=valid)
+    (sidx, sctx, qhi, qlo, base, nch, isfw,
+     valid) = _prep_sel_fused(tkeys, codes, k)
+    dmax = PK._grid_depth(nch)
+    thi, tlo, pay = PK._cached_pack_table(tkeys, tcov, tfw, tbw)
+    nq_tiles = qhi.shape[0] // PK.QT
+    out = PK._probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                        base=base, nch=nch)
+    return _post_sel_fused(out, sidx, sctx, isfw, valid, k, cutoff,
+                           codes=codes)

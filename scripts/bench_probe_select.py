@@ -1,5 +1,7 @@
-"""On-chip timing of the select-probe validate fast path vs round-2
-paths.  Ground-truth methodology: pre-staged distinct random inputs.
+"""On-chip timing of the select-probe validate fast path (fused
+pipeline: prep jit + kernel + post jit).  Ground-truth methodology:
+pre-staged distinct random inputs (the chained harness is invalid for
+sort-bearing stages; repeated identical calls are relay-elided).
 """
 
 import os
@@ -16,7 +18,8 @@ import jax.numpy as jnp
 import kreeq_tpu  # noqa: F401
 from kreeq_tpu.ops.kmers import count_sorted, kmer_positions
 from kreeq_tpu.ops import pallas_kernels as PK
-from kreeq_tpu.ops.validate import (_extract_ctx, validate_positions_pallas)
+from kreeq_tpu.ops.validate import (_post_sel_fused, _prep_sel_fused,
+                                    validate_positions_pallas)
 
 Q = 1 << 22
 CHUNK = 1 << 23
@@ -38,7 +41,8 @@ def stage(name, fn, argsets, per=Q):
 
 def main():
     rng = np.random.default_rng(1)
-    print("device:", jax.devices()[0], flush=True)
+    print("device:", jax.devices()[0], f"QT={PK.QT} TT={PK.TT}",
+          flush=True)
 
     genome = rng.integers(0, 4, CHUNK).astype(np.uint8)
 
@@ -53,7 +57,6 @@ def main():
     csets = []
     for i in range(R):
         g2 = genome.copy()
-        # half hits (genome windows), half random
         g2[Q // 2:Q] = rng.integers(0, 4, Q - Q // 2).astype(np.uint8)
         np.random.default_rng(i).shuffle(g2[:Q].reshape(-1, 4096))
         csets.append(jnp.asarray(g2[:Q]))
@@ -63,26 +66,26 @@ def main():
           lambda c: validate_positions_pallas(tkeys, cov, fw, bw, c, K, 0),
           [(c,) for c in csets])
 
-    # stages
-    ext = stage("  extract+ctx", lambda c: _extract_ctx(c, K),
-                [(c,) for c in csets])
-    qsets = [(e[0], e[3]) for e in ext]
-    preps = stage("  prep_sel (sort+spans)",
-                  lambda q, x: PK._probe_prep_sel(tkeys, q, x),
-                  qsets)
-    thi, tlo, pay = PK._pack_table(tkeys, cov, fw, bw)
+    preps = stage("  prep fused (ext+sort+spans)",
+                  lambda c: _prep_sel_fused(tkeys, c, K),
+                  [(c,) for c in csets])
+    thi, tlo, pay = PK._cached_pack_table(tkeys, cov, fw, bw)
     jax.block_until_ready((thi, tlo, pay))
     runs = []
-    for sidx, sctx, qhi, qlo, base, nch in preps:
+    for sidx, sctx, qhi, qlo, base, nch, isfw, valid in preps:
         dmax = PK._grid_depth(nch)
-        runs.append((qhi, qlo, base, nch, qhi.shape[0] // PK.QT, dmax,
-                     sidx, sctx))
+        runs.append((qhi, qlo, base, nch, qhi.shape[0] // PK.QT, dmax))
     print("dmax:", [r[5] for r in runs], flush=True)
-    outs = stage("  kernel", lambda qhi, qlo, base, nch, nt, dm, si, sx:
+    outs = stage("  kernel", lambda qhi, qlo, base, nch, nt, dm:
                  PK._probe_run(qhi, qlo, thi, tlo, pay, nt, dm,
                                base=base, nch=nch), runs)
-    posts = [(o, r[6], r[7]) for o, r in zip(outs, runs)]
-    stage("  post_sel (select+restore)", PK._probe_post_sel, posts)
+    posts = [(o, p[0], p[1], p[6], p[7], c[0])
+             for o, p, c in zip(outs, preps,
+                                [(c,) for c in csets])]
+    stage("  post fused (sel+restore+cls)",
+          lambda o, sidx, sctx, isfw, valid, c:
+          _post_sel_fused(o, sidx, sctx, isfw, valid, K, 0, codes=c),
+          posts)
 
 
 if __name__ == "__main__":

@@ -218,3 +218,14 @@ def test_anomalies_snapshot(tmp_path):
     assert lines[0] == "sequence2\t4\t25"
     assert lines[1] == "sequence2\t44\t65"
     assert "sequence15\t26\t46" in lines or len(lines) > 20
+
+
+def test_warmup_mode(capsys):
+    """`kreeq warmup --small` compiles the (tiny) shape grid and
+    reports the program count (cold-start mitigation path)."""
+    from kreeq_tpu.cli.main import run
+
+    rc = run(["kreeq", "warmup", "--small"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "programs compiled/cached" in out
