@@ -99,8 +99,7 @@ class DBG:
         import jax.numpy as jnp
 
         from ..ops.validate import (validate_positions,
-                                    validate_positions_pallas,
-                                    validate_positions_table)
+                                    validate_positions_pallas)
 
         from ..utils.pallas_gate import pallas_enabled
 
@@ -139,7 +138,9 @@ class DBG:
                 return True, empty_starts, 8, 1
             starts, bits, rounds = self.table.bucket_index()
             return False, starts, bits, rounds
-        for seg in self.genome.segments:
+        if windowed:
+            self._validate_windowed()
+        for seg in (() if windowed else self.genome.segments):
             ln = len(seg)
             if ln < k:
                 self.tracks.append(
@@ -168,12 +169,7 @@ class DBG:
                 buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
                 if b < kcount:
                     buf[lead + (b - a) + k - 1] = codes[b + k - 1]
-                if windowed:
-                    (valid, missing, edge_missing, cov, isfw, right,
-                     left) = validate_positions_table(
-                         self.table, jnp.asarray(buf), k,
-                         self.ui.cov_cutoff)
-                elif use_pallas and len(self.table):
+                if use_pallas and len(self.table):
                     (valid, missing, edge_missing, cov, isfw, right,
                      left) = validate_positions_pallas(
                          tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
@@ -196,6 +192,132 @@ class DBG:
             self.tot_kcount += kcount
             self.tracks.append(track)
 
+        self._print_qv(out, k)
+
+    def _seq_windows(self, codes, kcount: int):
+        """(a, b, lead, buf) per fixed validate window of one segment —
+        one base of context on each side keeps the edge tests exact at
+        window seams."""
+        win = self.VALIDATE_WINDOW
+        k = self.k
+        for a in range(0, kcount, win):
+            b = min(a + win, kcount)
+            nbuf = _bucket(b - a + k + 1) if b - a + k + 1 < win \
+                else win + k + 1
+            buf = np.full(nbuf, 4, np.uint8)
+            lead = 1
+            if a > 0:
+                buf[0] = codes[a - 1]
+            buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
+            if b < kcount:
+                buf[lead + (b - a) + k - 1] = codes[b + k - 1]
+            yield a, b, lead, buf
+
+    def _validate_windowed(self) -> None:
+        """Out-of-core validate with the loop order INVERTED: table
+        key-range windows OUTER, sequence windows inner — each table
+        window is uploaded exactly once per run, exactly like the
+        reference's map-range rescans (reference: src/kreeq.cpp:59-76;
+        the naive order would re-upload the whole table once per
+        sequence window).  Per position, the context-selected probe
+        result (found, cov, right, left — 13 B) accumulates on the
+        host; at most one window finds any key, so combination is
+        first-found-wins.  A final device pass per sequence window
+        classifies from the accumulated selection."""
+        import jax.numpy as jnp
+
+        from ..ops.pallas_kernels import _select_xla
+        from ..ops.validate import _classify_jit, _extract_ctx
+
+        k = self.k
+        ranges = self.table.window_ranges()
+        segs = [(si, seg) for si, seg in enumerate(self.genome.segments)]
+        # host accumulators per segment (13 B / position)
+        accs = {}
+        for si, seg in segs:
+            kcount = len(seg) - k + 1
+            if kcount > 0:
+                accs[si] = (np.zeros(kcount, bool),
+                            np.zeros(kcount, np.uint32),
+                            np.zeros(kcount, np.uint32),
+                            np.zeros(kcount, np.uint32))
+
+        for w in range(len(ranges)):
+            arrays = self.table.device_arrays(w)
+            for si, seg in segs:
+                if si not in accs:
+                    continue
+                codes = seg.codes
+                kcount = len(seg) - k + 1
+                af, ac, ar, al = accs[si]
+                for a, b, lead, buf in self._seq_windows(codes, kcount):
+                    keys, _isfw, _valid, ctx = _extract_ctx(
+                        jnp.asarray(buf), k)
+                    probe = self.table._probe_one(
+                        arrays, keys, lambda w=w: self.table.bucket_index(w))
+                    f, c, r, ll = _select_xla(*probe, ctx)
+                    sl = slice(lead, lead + (b - a))
+                    f = np.asarray(f[sl])
+                    hit = np.nonzero(f)[0]
+                    if hit.size == 0:
+                        continue
+                    ac[a:b][hit] = np.asarray(c[sl])[hit]
+                    ar[a:b][hit] = np.asarray(r[sl])[hit]
+                    al[a:b][hit] = np.asarray(ll[sl])[hit]
+                    af[a:b][hit] = True
+
+        # final pass: classification from the accumulated selection
+        for si, seg in segs:
+            ln = len(seg)
+            if si not in accs:
+                self.tracks.append(
+                    SegmentTrack(np.zeros(ln, np.uint32),
+                                 np.zeros(ln, bool),
+                                 np.zeros(ln, np.uint32),
+                                 np.zeros(ln, np.uint32)))
+                continue
+            codes = seg.codes
+            kcount = ln - k + 1
+            af, ac, ar, al = accs[si]
+            track = SegmentTrack(np.zeros(ln, np.uint32),
+                                 np.zeros(ln, bool),
+                                 np.zeros(ln, np.uint32),
+                                 np.zeros(ln, np.uint32))
+            for a, b, lead, buf in self._seq_windows(codes, kcount):
+                p = buf.shape[0] - k + 1
+                self._classify_acc(jnp.asarray(buf), k, accs[si],
+                                   a, b, lead, p, track)
+            self.tot_kcount += kcount
+            self.tracks.append(track)
+
+    def _classify_acc(self, buf_d, k, acc, a, b, lead, p, track):
+        """Classify one sequence window from host accumulators."""
+        import jax.numpy as jnp
+
+        from ..ops.validate import _classify_sel, _extract_ctx
+
+        af, ac, ar, al = acc
+
+        def pad(arr, fill, dtype):
+            outb = np.full(p, fill, dtype)
+            outb[lead:lead + (b - a)] = arr[a:b]
+            return jnp.asarray(outb)
+
+        _keys, isfw, valid, _ctx = _extract_ctx(buf_d, k)
+        sel = (pad(af, False, bool), pad(ac, 0, np.uint32),
+               pad(ar, 0, np.uint32), pad(al, 0, np.uint32))
+        (valid, missing, edge_missing, cov, isfw, right,
+         left) = _classify_sel(buf_d, sel, k, self.ui.cov_cutoff,
+                               isfw=isfw, valid=valid)
+        sl = slice(lead, lead + (b - a))
+        self.tot_missing += int(np.asarray(missing[sl]).sum())
+        self.tot_edge_missing += int(np.asarray(edge_missing[sl]).sum())
+        track.cov[a:b] = np.asarray(cov[sl])
+        track.isfw[a:b] = np.asarray(isfw[sl])
+        track.right[a:b] = np.asarray(right[sl])
+        track.left[a:b] = np.asarray(left[sl])
+
+    def _print_qv(self, out, k: int) -> None:
         if "." in self.ui.out_file or self.ui.out_file == "":
             def qv(err: float) -> float:
                 if math.isnan(err):

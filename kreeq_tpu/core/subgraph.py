@@ -198,15 +198,13 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
     fbw = np.array([n.bw for n in sub.values()],
                    np.uint32).reshape(-1, 4)
 
-    for _ in range(depth):
-        if fkeys.size == 0:
-            break
-        if use_device(fkeys.size):
-            # one device program replaces the O(8n) host scan
-            # (ops/frontier.py) — dominant for the first round's full
-            # seed frontier at chromosome scale
-            vals, _idx = survivors_np(fkeys, ffw, fbw, sub_sorted, k, 0)
-        else:
+    if use_device(fkeys.size):
+        _traversal_device(dbg, sub, candidates, sub_sorted,
+                          fkeys, ffw, fbw, depth)
+    else:
+        for _ in range(depth):
+            if fkeys.size == 0:
+                break
             cand = neighbors8_np(fkeys, k)  # [n, 8] scan order
             emask = np.empty((fkeys.size, 8), bool)
             emask[:, 0::2] = ffw != 0
@@ -214,6 +212,70 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
             ok = emask & ~isin_sorted_np(sub_sorted, cand)
             flat_idx = np.nonzero(ok.ravel())[0]
             vals = cand.ravel()[flat_idx]
+            _u, first = np.unique(vals, return_index=True)
+            ckeys = vals[np.sort(first)]  # ordered unique candidates
+            if ckeys.size == 0:
+                break
+            pad = max(64, 1 << int(np.ceil(np.log2(ckeys.size))))
+            qbuf = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+            qbuf[:ckeys.size] = ckeys
+            found, cov, fw, bw = table.probe(qbuf)
+            hit = np.nonzero(found[:ckeys.size])[0]
+            fkeys = ckeys[hit]
+            ffw = fw[hit]
+            fbw = bw[hit]
+            # bulk .tolist() conversions: one C-level pass instead of
+            # a Python int() per field
+            for key, fwl, bwl, c in zip(fkeys.tolist(), ffw.tolist(),
+                                        fbw.tolist(), cov[hit].tolist()):
+                candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
+    for key, node in candidates.items():
+        sub.setdefault(key, node)
+
+
+def _traversal_device(dbg, sub, candidates, sub_sorted, fkeys, ffw,
+                      fbw, depth: int) -> None:
+    """Device-resident BFS rounds: the frontier (keys + edge counters)
+    never round-trips to the host between rounds — round 2's version
+    re-uploaded ~40 B/node/round through the tunnel, which dominated
+    chromosome-scale traversals.  Per round only the (typically small)
+    candidate set is read back for the insertion-ordered bookkeeping
+    the goldens pin.  Byte-identical to the host loop
+    (scripts/bench_subgraph.py asserts node sets AND order)."""
+    import jax.numpy as jnp
+
+    from ..ops.frontier import survivors_dev
+
+    k = dbg.k
+    table = dbg.table
+    spad = max(64, 1 << int(np.ceil(np.log2(max(sub_sorted.size, 1)))))
+    sbuf = np.full(spad, 0xFFFFFFFFFFFFFFFF, np.uint64)
+    sbuf[:sub_sorted.size] = sub_sorted
+    sub_d = jnp.asarray(sbuf)
+
+    def pad_up(a, fill):
+        n = a.shape[0]
+        npad = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        if npad == n:
+            return jnp.asarray(a)
+        pad = np.full((npad - n,) + a.shape[1:], fill, a.dtype)
+        return jnp.asarray(np.concatenate([a, pad]))
+
+    fkeys_d = pad_up(fkeys, 0xFFFFFFFFFFFFFFFF)
+    ffw_d = pad_up(ffw, 0)
+    fbw_d = pad_up(fbw, 0)
+
+    # fused async rounds need the whole table device-resident
+    fused = (table.window_ranges() is None and len(table) > 0)
+    if fused and fkeys_d.shape[0] <= (1 << 20):
+        _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
+                                depth, k, candidates)
+        return
+
+    for _ in range(depth):
+        vals = survivors_dev(fkeys_d, ffw_d, fbw_d, sub_d, k, 0)
+        if vals.size == 0:
+            break
         _u, first = np.unique(vals, return_index=True)
         ckeys = vals[np.sort(first)]  # ordered unique candidates
         if ckeys.size == 0:
@@ -221,18 +283,98 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
         pad = max(64, 1 << int(np.ceil(np.log2(ckeys.size))))
         qbuf = np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)
         qbuf[:ckeys.size] = ckeys
-        found, cov, fw, bw = table.probe(qbuf)
-        hit = np.nonzero(found[:ckeys.size])[0]
-        fkeys = ckeys[hit]
-        ffw = fw[hit]
-        fbw = bw[hit]
-        # bulk .tolist() conversions: one C-level pass instead of a
-        # Python int() per field
-        for key, fwl, bwl, c in zip(fkeys.tolist(), ffw.tolist(),
-                                    fbw.tolist(), cov[hit].tolist()):
+        qbuf_d = jnp.asarray(qbuf)
+        found_d, cov_d, fw_d, bw_d = table.probe_device(qbuf_d)
+        # next frontier stays on device; dead slots carry SENTINEL
+        # keys, which the survivor scan ignores
+        fkeys_d = jnp.where(found_d, qbuf_d,
+                            jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        ffw_d = jnp.where(found_d[:, None], fw_d, 0)
+        fbw_d = jnp.where(found_d[:, None], bw_d, 0)
+        found = np.asarray(found_d)[:ckeys.size]
+        # host bookkeeping of the round's discoveries (insertion order)
+        hit = np.nonzero(found)[0]
+        if hit.size == 0:
+            break
+        hkeys = ckeys[hit]
+        hfw = np.asarray(fw_d)[:ckeys.size][hit]
+        hbw = np.asarray(bw_d)[:ckeys.size][hit]
+        hcov = np.asarray(cov_d)[:ckeys.size][hit]
+        for key, fwl, bwl, c in zip(hkeys.tolist(), hfw.tolist(),
+                                    hbw.tolist(), hcov.tolist()):
             candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
-    for key, node in candidates.items():
-        sub.setdefault(key, node)
+
+
+def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
+                            depth: int, k: int, candidates) -> None:
+    """Dispatch ALL BFS rounds back-to-back before draining: each
+    round's next frontier depends only on device state, and the
+    per-round bookkeeping comes back as ONE packed array, so the whole
+    traversal pays ~one tunnel round trip instead of six per round
+    (~40 ms each; the per-round version measured 66 blocking readbacks
+    = 2.6 s of pure latency at 1 Mbp).  A round whose survivor count
+    overflows the static cap is re-dispatched from its saved input
+    state with a doubled cap (rare: caps grow monotonically)."""
+    from ..ops.frontier import _expand_round
+
+    tkeys, tcov, tfw, tbw = table.device_arrays()
+    tstarts, bits, _rounds = table.bucket_index()
+    cap = 1 << 14
+    r = 0
+    state = (fkeys_d, ffw_d, fbw_d)
+    while r < depth:
+        packs = []
+        states = []
+        st = state
+        for _rr in range(r, depth):
+            states.append(st)
+            cap_r = min(cap, st[0].shape[0] * 8)
+            packed, nk, nf, nb = _expand_round(
+                st[0], st[1], st[2], sub_d, k, np.uint32(0), cap_r,
+                bits, tkeys=tkeys, tcov=tcov, tfw=tfw, tbw=tbw,
+                tstarts=tstarts)
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                pass
+            packs.append(packed)
+            st = (nk, nf, nb)
+        retry = False
+        for i, packed in enumerate(packs):
+            p = np.asarray(packed)
+            cnt = int(p[0, 0])
+            if cnt > min(cap, states[i][0].shape[0] * 8):
+                # overflow: redo from this round with a bigger cap
+                cap = 1 << int(np.ceil(np.log2(cnt)))
+                r = r + i
+                state = states[i]
+                retry = True
+                break
+            if cnt == 0:
+                return
+            rows = p[1:cnt + 1]
+            keys_r = rows[:, 0]
+            cov_r = (rows[:, 1] & 0xFFFFFFFF).astype(np.uint32)
+            found_r = (rows[:, 1] >> np.uint64(32)) != 0
+            fwb = np.empty((cnt, 4), np.uint32)
+            bwb = np.empty((cnt, 4), np.uint32)
+            for w, col in ((0, 2), (2, 3)):
+                fwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
+                fwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
+                    .astype(np.uint32)
+            for w, col in ((0, 4), (2, 5)):
+                bwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
+                bwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
+                    .astype(np.uint32)
+            hit = np.nonzero(found_r)[0]
+            if hit.size == 0:
+                return
+            for key, fwl, bwl, c in zip(
+                    keys_r[hit].tolist(), fwb[hit].tolist(),
+                    bwb[hit].tolist(), cov_r[hit].tolist()):
+                candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
+        if not retry:
+            return
 
 
 def best_first(dbg, sub: Dict[int, SubNode]) -> Dict[int, SubNode]:

@@ -48,6 +48,64 @@ def _pow2(n: int) -> int:
     return size
 
 
+LARGEST = np.uint64(0xFFFFFFFF)
+
+
+def host_merge_sorted(ak, ac, af, ab, bk, bc, bf, bb):
+    """Union of two sorted-unique host tables with saturating adds —
+    the out-of-core sibling of ops.kmers.merge_sorted, used when the
+    merged operands would exceed device HBM (a device merge holds both
+    inputs, the output, and sort workspace; see from_reads).  Two
+    searchsorted passes compute every row's output position directly —
+    no O(n log n) argsort of the concatenation."""
+    na, nb = len(ak), len(bk)
+    if na == 0:
+        return bk.copy(), bc.copy(), bf.copy(), bb.copy()
+    if nb == 0:
+        return ak.copy(), ac.copy(), af.copy(), ab.copy()
+    pos_a = np.searchsorted(bk, ak, side="left") + np.arange(na)
+    pos_b = np.searchsorted(ak, bk, side="right") + np.arange(nb)
+    n = na + nb
+    keys = np.empty(n, np.uint64)
+    cov = np.empty(n, np.uint32)
+    fw = np.empty((n, 4), np.uint32)
+    bw = np.empty((n, 4), np.uint32)
+    keys[pos_a] = ak
+    keys[pos_b] = bk
+    cov[pos_a] = ac
+    cov[pos_b] = bc
+    fw[pos_a] = af
+    fw[pos_b] = bf
+    bw[pos_a] = ab
+    bw[pos_b] = bb
+    dup = np.zeros(n, bool)
+    dup[1:] = keys[1:] == keys[:-1]  # a-row then b-row for shared keys
+    if dup.any():
+        i = np.nonzero(dup)[0]
+
+        def satadd(arr):
+            s = arr[i - 1].astype(np.uint64) + arr[i].astype(np.uint64)
+            arr[i - 1] = np.minimum(s, LARGEST).astype(np.uint32)
+
+        satadd(cov)
+        satadd(fw)
+        satadd(bw)
+        keep = ~dup
+        keys, cov, fw, bw = keys[keep], cov[keep], fw[keep], bw[keep]
+    return keys, cov, fw, bw
+
+
+def _host_merge_threshold() -> int:
+    """Merged-row count above which tree merges run on the host (a
+    device merge holds ~4x the merged rows in HBM across inputs,
+    output, and sort workspace).  KREEQ_TPU_HOST_MERGE_ROWS overrides
+    (tests force tiny values)."""
+    env = os.environ.get("KREEQ_TPU_HOST_MERGE_ROWS")
+    if env:
+        return max(int(env), 1)
+    return max(KmerTable.max_device_rows() // 2, 1 << 20)
+
+
 @dataclass
 class TableStats:
     total: int
@@ -169,11 +227,22 @@ class KmerTable:
             return part
 
         def merge(stored, fresh):
+            # merges whose output would strain HBM run on the host
+            # (bounded-RAM builds of tables far beyond device memory —
+            # the reference's spill-to-disk analog,
+            # src/graph-builder.cpp:213-216)
+            ns = int(stored[4])
+            if ns + fresh[0].shape[0] > _host_merge_threshold():
+                nf = int(fresh[4])
+                a = tuple(np.asarray(x)[:ns] for x in stored[:4])
+                b = tuple(np.asarray(x)[:nf] for x in fresh[:4])
+                mk, mc, mf, mb = host_merge_sorted(*a, *b)
+                return (mk, mc, mf, mb, np.uint32(len(mk)))
             # both operands end up power-of-two sized (the stored side
             # by its ready n, the fresh side by shape alone — no
             # readback) so merge shape pairs repeat across the build:
             # every new shape pair costs a full XLA compile
-            a = _pad_part(_trim(stored)[:4], _pow2(int(stored[4])))
+            a = _pad_part(_trim(stored)[:4], _pow2(ns))
             b = _pad_part(fresh[:4], _pow2(fresh[0].shape[0]))
             mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
             return _async_part((mkeys, mcov, mfw, mbw), nm)
@@ -344,6 +413,12 @@ class KmerTable:
             return other
         if len(other) == 0:
             return self
+        if len(self) + len(other) > _host_merge_threshold():
+            # out-of-core union: device HBM can't hold operands +
+            # output + sort workspace
+            return KmerTable(self.k, *host_merge_sorted(
+                self.keys, self.cov, self.fw, self.bw,
+                other.keys, other.cov, other.fw, other.bw))
         a = _pad_part((jnp.asarray(self.keys), jnp.asarray(self.cov),
                        jnp.asarray(self.fw), jnp.asarray(self.bw)),
                       _pow2(len(self)))

@@ -61,22 +61,12 @@ def _neighbors8(keys, k: int):
     return jnp.stack([fw_c, bw_c], axis=2).reshape(keys.shape[0], 8)
 
 
-@partial(jax.jit, static_argnums=(4, 6))
-def _survivors(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int):
-    """(count, vals[cap], idx[cap]): surviving neighbour slots.
-
-    A slot survives when its edge counter > cutoff and its canonical
-    neighbour key is NOT in sub_sorted.  Survivors are returned packed
-    to the front in flat scan order; dead tail entries read
-    (SENTINEL, 0xFFFFFFFF).  `count` is the true survivor total — if
-    count > cap the caller must retry with a larger cap.
-
-    Membership + compaction are two sorts (the fast TPU shapes), not
-    searchsorted: [sub keys ++ neighbour keys] sorts once by
-    (value, sub-first); a cummax carries the last sub value so equal
-    neighbour rows test membership; one 3-operand sort restores scan
-    order with dead rows last.
-    """
+def _survivors_core(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int,
+                    dedup: bool):
+    """Traced body shared by _survivors and the fused expand round.
+    With dedup=True, only the FIRST scan-order occurrence of each
+    candidate value survives (duplicate slots die before the restore
+    sort), preserving the reference's first-wins insertion order."""
     n = keys.shape[0]
     n8 = n * 8
     if n8 > (1 << _IDX_BITS):  # max flat index n8-1 must fit _IDX_BITS
@@ -108,6 +98,13 @@ def _survivors(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int):
                                        sval + jnp.uint64(1)))
     member = is_cand & (carried == sval + jnp.uint64(1))
     ok = is_cand & ~member & (sval != SENTINEL)
+    if dedup:
+        # equal candidate values sort adjacently (idx ascending), so
+        # any ok row following an equal ok row is a later occurrence
+        prev_ok = jnp.concatenate([jnp.zeros((1,), bool), ok[:-1]])
+        prev_sval = jnp.concatenate([jnp.zeros((1,), jnp.uint64),
+                                     sval[:-1]])
+        ok = ok & ~(prev_ok & (prev_sval == sval))
     count = jnp.sum(ok.astype(jnp.uint32))
 
     rk = jnp.where(ok, sidx, jnp.uint32(0xFFFFFFFF))
@@ -115,6 +112,66 @@ def _survivors(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int):
     out_vals = jnp.where(srk[:cap] != jnp.uint32(0xFFFFFFFF),
                          svals_o[:cap], SENTINEL)
     return count, out_vals, srk[:cap]
+
+
+@partial(jax.jit, static_argnums=(4, 6, 7))
+def _expand_round(keys, fw, bw, sub_sorted, k: int, cutoff,
+                  cap: int, bits: int, tkeys=None, tcov=None, tfw=None,
+                  tbw=None, tstarts=None):
+    """ONE device program per BFS round: survivor scan + first-wins
+    dedup + table probe + next-frontier masking.
+
+    Returns (packed, nkeys, nfw, nbw) where `packed` is a [cap+1, 6]
+    u64 matrix holding ALL the host bookkeeping for the round in ONE
+    readback — through a tunneled chip every blocking transfer costs
+    ~40 ms, and the per-stage traversal paid 6 per round.  Row 0 =
+    [survivor count, 0...]; row 1+i = [key, cov | found<<32, fw01,
+    fw23, bw01, bw23] of candidate i in scan order (key = SENTINEL
+    past the count).  The next-frontier outputs depend only on device
+    state, so callers can dispatch ALL rounds before draining any."""
+    from .kmers import probe_bucketed_dyn
+
+    count, vals, _idx = _survivors_core(keys, fw, bw, sub_sorted, k,
+                                        cutoff, cap, dedup=True)
+    found, cov, pfw, pbw = probe_bucketed_dyn(
+        tkeys, tcov, tfw, tbw, tstarts, vals, k, bits)
+    nkeys = jnp.where(found, vals, SENTINEL)
+    nfw = jnp.where(found[:, None], pfw, 0)
+    nbw = jnp.where(found[:, None], pbw, 0)
+
+    u64 = jnp.uint64
+
+    def pack2(a, b):
+        return a.astype(u64) | (b.astype(u64) << u64(32))
+
+    hdr = jnp.zeros((1, 6), u64).at[0, 0].set(count.astype(u64))
+    rows = jnp.stack(
+        [vals, pack2(cov, found.astype(jnp.uint32)),
+         pack2(pfw[:, 0], pfw[:, 1]), pack2(pfw[:, 2], pfw[:, 3]),
+         pack2(pbw[:, 0], pbw[:, 1]), pack2(pbw[:, 2], pbw[:, 3])],
+        axis=1)
+    packed = jnp.concatenate([hdr, rows], axis=0)
+    return packed, nkeys, nfw, nbw
+
+
+@partial(jax.jit, static_argnums=(4, 6))
+def _survivors(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int):
+    """(count, vals[cap], idx[cap]): surviving neighbour slots.
+
+    A slot survives when its edge counter > cutoff and its canonical
+    neighbour key is NOT in sub_sorted.  Survivors are returned packed
+    to the front in flat scan order; dead tail entries read
+    (SENTINEL, 0xFFFFFFFF).  `count` is the true survivor total — if
+    count > cap the caller must retry with a larger cap.
+
+    Membership + compaction are two sorts (the fast TPU shapes), not
+    searchsorted: [sub keys ++ neighbour keys] sorts once by
+    (value, sub-first); a cummax carries the last sub value so equal
+    neighbour rows test membership; one 3-operand sort restores scan
+    order with dead rows last.
+    """
+    return _survivors_core(keys, fw, bw, sub_sorted, k, cutoff, cap,
+                           dedup=False)
 
 
 _SLAB = 1 << 20
@@ -135,6 +192,33 @@ def use_device(n_nodes: int) -> bool:
     if jax.default_backend() == "cpu":
         return False
     return n_nodes >= (1 << 15)
+
+
+def survivors_dev(keys_d, fw_d, bw_d, sub_pad_d, k: int, cutoff: int):
+    """Device-resident driver: inputs are device arrays already padded
+    to a power of two (SENTINEL keys in dead slots), sub_pad_d is the
+    SENTINEL-padded sorted subgraph key set.  Returns surviving
+    neighbour values (host numpy, flat scan order) — the only readback;
+    the frontier arrays themselves never leave the device."""
+    n = keys_d.shape[0]
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    all_vals = []
+    for s0 in range(0, n, _SLAB):
+        kp = keys_d[s0:s0 + _SLAB]
+        fp = fw_d[s0:s0 + _SLAB]
+        bp = bw_d[s0:s0 + _SLAB]
+        cap = 1 << 14
+        while True:
+            cap = min(cap, kp.shape[0] * 8)
+            cnt, vals, _idx = _survivors(kp, fp, bp, sub_pad_d, k,
+                                         np.uint32(cutoff), cap)
+            cnt = int(cnt)
+            if cnt <= cap:
+                break
+            cap = 1 << int(np.ceil(np.log2(cnt)))
+        all_vals.append(np.asarray(vals[:cnt]))
+    return np.concatenate(all_vals) if len(all_vals) > 1 else all_vals[0]
 
 
 def survivors_np(keys, fw, bw, sub_sorted, k: int, cutoff: int):

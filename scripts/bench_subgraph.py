@@ -86,10 +86,18 @@ def main() -> None:
     sub2 = {k2: v for k2, v in sub1.items()}
     print(f"seed subgraph: {len(sub1)} nodes", flush=True)
 
+    # warm: compile the device programs on a throwaway copy (every new
+    # shape costs a full XLA compile through the remote compiler)
+    warm = {k2: v for k2, v in sub1.items()}
+    t0 = time.time()
+    traversal(dbg, warm)
+    print(f"batched traversal (cold): {time.time()-t0:6.2f}s",
+          flush=True)
+
     t0 = time.time()
     traversal(dbg, sub1)
     t_new = time.time() - t0
-    print(f"batched traversal:  {t_new:6.2f}s -> {len(sub1)} nodes",
+    print(f"batched traversal (warm): {t_new:6.2f}s -> {len(sub1)} nodes",
           flush=True)
 
     t0 = time.time()

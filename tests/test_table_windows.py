@@ -122,3 +122,51 @@ def test_golden_windowed(num):
     assert len(got) == len(want)
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == (known.get(i, w)), f"line {i}: {g!r} != {w!r}"
+
+
+def test_host_merge_matches_device(tmp_path):
+    """Forced-host tree merges (KREEQ_TPU_HOST_MERGE_ROWS) must build
+    a bitwise-identical table — the out-of-core build path for tables
+    whose merges would exceed HBM."""
+    from kreeq_tpu.core.table import KmerTable
+
+    ap, rp = _mk_inputs(tmp_path)
+    base = KmerTable.from_reads([rp], 21)
+    os.environ["KREEQ_TPU_HOST_MERGE_ROWS"] = "8"
+    try:
+        host = KmerTable.from_reads([rp], 21)
+    finally:
+        del os.environ["KREEQ_TPU_HOST_MERGE_ROWS"]
+    assert np.array_equal(base.keys, host.keys)
+    assert np.array_equal(base.cov, host.cov)
+    assert np.array_equal(base.fw, host.fw)
+    assert np.array_equal(base.bw, host.bw)
+
+
+def test_host_merge_union_saturates():
+    """host_merge_sorted saturates overlapping counters at LARGEST
+    exactly like the device merge (reference u32 clamp,
+    src/graph-builder.cpp:196-204)."""
+    from kreeq_tpu.core.table import KmerTable, host_merge_sorted
+
+    ak = np.array([5, 10, 20], np.uint64)
+    ac = np.array([0xFFFFFFFE, 7, 1], np.uint32)
+    af = np.tile(np.array([1, 0, 0, 0], np.uint32), (3, 1))
+    ab = np.zeros((3, 4), np.uint32)
+    bk = np.array([1, 10, 30], np.uint64)
+    bc = np.array([2, 0xFFFFFFFF, 3], np.uint32)
+    bf = np.tile(np.array([0, 2, 0, 0], np.uint32), (3, 1))
+    bb = np.ones((3, 4), np.uint32)
+    mk, mc, mf, mb = host_merge_sorted(ak, ac, af, ab, bk, bc, bf, bb)
+    assert mk.tolist() == [1, 5, 10, 20, 30]
+    assert mc.tolist() == [2, 0xFFFFFFFE, 0xFFFFFFFF, 1, 3]  # saturated
+    assert mf[2].tolist() == [1, 2, 0, 0]
+
+    # cross-check against the device union on the same data
+    ta = KmerTable(21, ak, ac, af, ab)
+    tb = KmerTable(21, bk, bc, bf, bb)
+    tu = ta.merge(tb)
+    assert np.array_equal(tu.keys, mk)
+    assert np.array_equal(tu.cov, mc)
+    assert np.array_equal(tu.fw, mf)
+    assert np.array_equal(tu.bw, mb)
