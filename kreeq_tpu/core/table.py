@@ -96,14 +96,20 @@ def host_merge_sorted(ak, ac, af, ab, bk, bc, bf, bb):
 
 
 def _host_merge_threshold() -> int:
-    """Merged-row count above which tree merges run on the host (a
-    device merge holds ~4x the merged rows in HBM across inputs,
-    output, and sort workspace).  KREEQ_TPU_HOST_MERGE_ROWS overrides
-    (tests force tiny values)."""
+    """Merged-row count above which tree merges run on the host.
+
+    A device merge holds the two inputs, the output, and the
+    payload-carrying sort workspace — ~6x the merged rows at ~44 B —
+    and the build's tree levels below the threshold stay device-
+    resident too (another ~2x threshold rows), so the threshold must
+    be a small fraction of HBM: with the default max_device_rows
+    (~45% of HBM / 44 B) a //4 cap keeps the whole build under ~60% of
+    HBM (a 10 Gbp-read build OOMed at //2).
+    KREEQ_TPU_HOST_MERGE_ROWS overrides (tests force tiny values)."""
     env = os.environ.get("KREEQ_TPU_HOST_MERGE_ROWS")
     if env:
         return max(int(env), 1)
-    return max(KmerTable.max_device_rows() // 2, 1 << 20)
+    return max(KmerTable.max_device_rows() // 4, 1 << 20)
 
 
 @dataclass

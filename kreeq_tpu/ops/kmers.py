@@ -280,73 +280,92 @@ def merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b, bw_b):
     Device-native replacement for the reference's submap-parallel union
     (reference: src/graph-builder.cpp:297-432); saturation bound LARGEST
     per reference include/kreeq.h:68.
+
+    Payloads ride the sorts as packed u64 operands — the round-2
+    version fetched them with two [p,16] row gathers, which are
+    latency-bound at ~40 M rows/s regardless of width (the dominant
+    524 ms of an 8M+8M merge); extra sort operands cost far less.
+    Equal keys across inputs land adjacent in either order (the
+    saturating add is commutative, so no passenger index is needed).
     """
     keys = jnp.concatenate([keys_a, keys_b])
+    p = keys.shape[0]
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = keys.astype(jnp.uint32)
+
+    def pack2(x, y):
+        return x.astype(jnp.uint64) | (y.astype(jnp.uint64)
+                                       << jnp.uint64(32))
+
     cov = jnp.concatenate([cov_a, cov_b])
     fw = jnp.concatenate([fw_a, fw_b])
     bw = jnp.concatenate([bw_a, bw_b])
-    p = keys.shape[0]
-    # 2-key u32/u64 sort with a passenger index + ONE padded 16-column
-    # unique-index row gather — same representation rationale as
-    # count_sorted (u64-keyed variadic sorts and narrow row gathers are
-    # the slow shapes on TPU).  The index rides in lo's low 26 bits
-    # (enough for 67M-row merges; larger tables take the argsort path).
-    if p <= (1 << 26):
-        hi = (keys >> jnp.uint64(38)).astype(jnp.uint32)
-        lo = ((keys & jnp.uint64((1 << 38) - 1)) << jnp.uint64(26)) \
-            | jnp.arange(p, dtype=jnp.uint64)
-        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
-        keys = (shi.astype(jnp.uint64) << jnp.uint64(38)) \
-            | (slo >> jnp.uint64(26))
-        order = (slo & jnp.uint64((1 << 26) - 1)).astype(jnp.int32)
-    else:
-        order = jnp.argsort(keys)
-        keys = keys[order]
-    payload = jnp.concatenate(
-        [cov[:, None], fw, bw, jnp.zeros((p, 7), jnp.uint32)], axis=1)
-    srt = jnp.take(payload, order, axis=0, unique_indices=True)
-    cov, fw, bw = srt[:, 0], srt[:, 1:5], srt[:, 5:9]
+    p0 = pack2(cov, fw[:, 0])
+    p1 = pack2(fw[:, 1], fw[:, 2])
+    p2 = pack2(fw[:, 3], bw[:, 0])
+    p3 = pack2(bw[:, 1], bw[:, 2])
+    p4 = bw[:, 3]
+    hi, lo, p0, p1, p2, p3, p4 = jax.lax.sort(
+        (hi, lo, p0, p1, p2, p3, p4), num_keys=2)
+    keys = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo
 
     starts = jnp.concatenate([jnp.ones((1,), bool), keys[1:] != keys[:-1]])
     real = keys != SENTINEL
-    n = jnp.sum((starts & real).astype(jnp.uint32))
+    flag = starts & real
+    n = jnp.sum(flag.astype(jnp.uint32))
 
-    # each key appears at most twice (once per input table)
+    # each key appears at most twice (once per input table); add the
+    # successor's packed halves with per-half saturation
     nxt_same = jnp.concatenate([keys[1:] == keys[:-1],
                                 jnp.zeros((1,), bool)])
-
-    def satadd(x, y):
-        s = x.astype(jnp.uint64) + y.astype(jnp.uint64)
-        return jnp.minimum(s, LARGEST).astype(jnp.uint32)
 
     def nxt(a):
         return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])])
 
-    cov2 = jnp.where(nxt_same, satadd(cov, nxt(cov)), cov)
-    fw2 = jnp.where(nxt_same[:, None], satadd(fw, nxt(fw)), fw)
-    bw2 = jnp.where(nxt_same[:, None], satadd(bw, nxt(bw)), bw)
+    m32 = jnp.uint64(0xFFFFFFFF)
 
-    # compact run starts to the front (pre-masked so tail rows read as
-    # SENTINEL/zero) — sort + ONE wide unique-index gather beats a row
-    # scatter and per-array gathers on TPU
-    flag = starts & real
-    order = _compact_order(flag)
+    def satadd2(x, y):
+        lo_s = jnp.minimum((x & m32) + (y & m32), m32)
+        hi_s = jnp.minimum((x >> jnp.uint64(32)) + (y >> jnp.uint64(32)),
+                           m32)
+        return lo_s | (hi_s << jnp.uint64(32))
+
+    p0 = jnp.where(nxt_same, satadd2(p0, nxt(p0)), p0)
+    p1 = jnp.where(nxt_same, satadd2(p1, nxt(p1)), p1)
+    p2 = jnp.where(nxt_same, satadd2(p2, nxt(p2)), p2)
+    p3 = jnp.where(nxt_same, satadd2(p3, nxt(p3)), p3)
+    p4 = jnp.minimum(jnp.where(nxt_same,
+                               p4.astype(jnp.uint64)
+                               + nxt(p4).astype(jnp.uint64),
+                               p4.astype(jnp.uint64)),
+                     m32).astype(jnp.uint32)
+
+    # compaction: dead rows (duplicate seconds + SENTINEL pads) get
+    # all-ones keys and sort to the tail — a second payload-carrying
+    # sort instead of a flag-sort + [p,16] row gather
     ffff = jnp.uint32(0xFFFFFFFF)
-    z32 = jnp.uint32(0)
-    mkeys = jnp.where(flag, keys, SENTINEL)
-    out = jnp.concatenate(
-        [jnp.where(flag, cov2, z32)[:, None],
-         jnp.where(flag[:, None], fw2, z32),
-         jnp.where(flag[:, None], bw2, z32),
-         jnp.where(flag, (mkeys & jnp.uint64(0xFFFFFFFF))
-                   .astype(jnp.uint32), ffff)[:, None],
-         jnp.where(flag, (mkeys >> jnp.uint64(32))
-                   .astype(jnp.uint32), ffff)[:, None],
-         jnp.zeros((p, 5), jnp.uint32)], axis=1)
-    out = jnp.take(out, order, axis=0, unique_indices=True)
-    okeys = (out[:, 9].astype(jnp.uint64)
-             | (out[:, 10].astype(jnp.uint64) << jnp.uint64(32)))
-    return okeys, out[:, 0], out[:, 1:5], out[:, 5:9], n
+    z64 = jnp.uint64(0)
+    hi2 = jnp.where(flag, hi, ffff)
+    lo2 = jnp.where(flag, lo, ffff)
+    p0 = jnp.where(flag, p0, z64)
+    p1 = jnp.where(flag, p1, z64)
+    p2 = jnp.where(flag, p2, z64)
+    p3 = jnp.where(flag, p3, z64)
+    p4 = jnp.where(flag, p4, jnp.uint32(0))
+    hi2, lo2, p0, p1, p2, p3, p4 = jax.lax.sort(
+        (hi2, lo2, p0, p1, p2, p3, p4), num_keys=2)
+    okeys = (hi2.astype(jnp.uint64) << jnp.uint64(32)) \
+        | lo2.astype(jnp.uint64)
+    ocov = (p0 & m32).astype(jnp.uint32)
+    ofw = jnp.stack([(p0 >> jnp.uint64(32)).astype(jnp.uint32),
+                     (p1 & m32).astype(jnp.uint32),
+                     (p1 >> jnp.uint64(32)).astype(jnp.uint32),
+                     (p2 & m32).astype(jnp.uint32)], axis=1)
+    obw = jnp.stack([(p2 >> jnp.uint64(32)).astype(jnp.uint32),
+                     (p3 & m32).astype(jnp.uint32),
+                     (p3 >> jnp.uint64(32)).astype(jnp.uint32),
+                     p4], axis=1)
+    return okeys, ocov, ofw, obw, n
 
 
 def get_merge_sorted():
