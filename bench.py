@@ -174,17 +174,37 @@ def main() -> None:
 
     dt_probe = time_probe(probe_step)
     probe_path = "xla"
+    dt_track = None
     if pallas_ok:
-        from kreeq_tpu.ops.validate import validate_positions_pallas
+        from kreeq_tpu.ops.validate import (validate_positions_pallas,
+                                            validate_qv_sums_pallas)
 
         def probe_step_pallas(tkeys, cov, fw, bw, codes):
             return validate_positions_pallas(tkeys, cov, fw, bw, codes,
                                              k, 0)
 
         try:
-            dt_p = time_probe(probe_step_pallas)
-            if dt_p < dt_probe:
-                dt_probe, probe_path = dt_p, "pallas"
+            dt_track = time_probe(probe_step_pallas)
+            if dt_track < dt_probe:
+                dt_probe, probe_path = dt_track, "pallas"
+        except Exception:  # noqa: BLE001 — never lose the artifact
+            pass
+
+        # the sums-only QV fast path — what plain `validate` (no track
+        # output) runs per window; chained via the missing-count scalar
+        p_hi = jnp.uint32(pchunk - k + 1)
+
+        def probe_step_qv(tkeys, cov, fw, bw, codes):
+            res = validate_qv_sums_pallas(tkeys, cov, fw, bw, codes,
+                                          k, 0, jnp.uint32(0), p_hi)
+            # keep the chain shape compatible with time_probe's
+            # out[3][0] access: wrap the scalar
+            return None, None, None, (res[0], res)
+
+        try:
+            dt_qv = time_probe(probe_step_qv)
+            if dt_qv < dt_probe:
+                dt_probe, probe_path = dt_qv, "pallas_qv"
         except Exception:  # noqa: BLE001 — never lose the artifact
             pass
     probe_rate = (pchunk - k + 1) / dt_probe
@@ -249,6 +269,8 @@ def main() -> None:
             "probe_step_ms": round(dt_probe * 1e3, 2),
             "count_path": count_path,
             "probe_path": probe_path,
+            "probe_track_step_ms": (round(dt_track * 1e3, 2)
+                                    if dt_track is not None else None),
             "merge_kmers_per_s": round(merge_rate),
             "merge_step_ms": round(dt_merge * 1e3, 2),
             "merge_path": merge_path,

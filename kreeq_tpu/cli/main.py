@@ -284,7 +284,10 @@ def report(dbg) -> None:
 
             correct_sequences(dbg)
         else:
-            dbg.validate_sequences()
+            # per-base tracks feed only the bed/csv/kwig/bkwig writers
+            # (reference: src/kreeq-output.cpp:62-83); plain validate /
+            # .kreeq / hist take the sums-only fast path
+            dbg.validate_sequences(need_tracks=case in (2, 3, 4))
 
     from ..io import writers
 

@@ -90,16 +90,24 @@ class DBG:
     # side, bounding device memory and JIT shapes
     VALIDATE_WINDOW = 1 << 22
 
-    def validate_sequences(self, out=None) -> None:
+    def validate_sequences(self, out=None, need_tracks: bool = True) -> None:
         """QV computation + per-base tracks (reference:
-        src/kreeq.cpp:47-108)."""
+        src/kreeq.cpp:47-108).
+
+        need_tracks=False is the sums-only fast path for plain
+        `validate`: the reference always fills DBGbase tracks, but
+        they feed only the QV totals unless a bed/csv/kwig/bkwig
+        writer runs (src/kreeq-output.cpp:62-83) — skipping them drops
+        the query-order restore sort and the per-window track
+        readbacks.  Output (the QV table) is identical."""
         out = out or sys.stdout
         if not self.ui.in_sequence:
             return
         import jax.numpy as jnp
 
-        from ..ops.validate import (validate_positions,
-                                    validate_positions_pallas)
+        from ..ops.validate import (qv_window_sums, validate_positions,
+                                    validate_positions_pallas,
+                                    validate_qv_sums_pallas)
 
         from ..utils.pallas_gate import pallas_enabled
 
@@ -143,39 +151,49 @@ class DBG:
         for seg in (() if windowed else self.genome.segments):
             ln = len(seg)
             if ln < k:
-                self.tracks.append(
-                    SegmentTrack(np.zeros(ln, np.uint32),
-                                 np.zeros(ln, bool),
-                                 np.zeros(ln, np.uint32),
-                                 np.zeros(ln, np.uint32)))
+                if need_tracks:
+                    self.tracks.append(
+                        SegmentTrack(np.zeros(ln, np.uint32),
+                                     np.zeros(ln, bool),
+                                     np.zeros(ln, np.uint32),
+                                     np.zeros(ln, np.uint32)))
                 continue
             codes = seg.codes
             kcount = ln - k + 1
             track = SegmentTrack(np.zeros(ln, np.uint32),
                                  np.zeros(ln, bool),
                                  np.zeros(ln, np.uint32),
-                                 np.zeros(ln, np.uint32))
-            win = self.VALIDATE_WINDOW
-            for a in range(0, kcount, win):
-                b = min(a + win, kcount)
-                # one base of context on each side keeps the edge
-                # tests exact at window seams
-                nbuf = _bucket(b - a + k + 1) if b - a + k + 1 < win \
-                    else win + k + 1
-                buf = np.full(nbuf, 4, np.uint8)
-                lead = 1
-                if a > 0:
-                    buf[0] = codes[a - 1]
-                buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
-                if b < kcount:
-                    buf[lead + (b - a) + k - 1] = codes[b + k - 1]
+                                 np.zeros(ln, np.uint32)) \
+                if need_tracks else None
+            pending = []  # device QV sums; read back after dispatch
+            for a, b, lead, buf in self._seq_windows(codes, kcount):
+                if not need_tracks:
+                    lead_d = jnp.uint32(lead)
+                    hi_d = jnp.uint32(lead + (b - a))
+                    if use_pallas and len(self.table):
+                        res = validate_qv_sums_pallas(
+                            tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
+                            self.ui.cov_cutoff, lead_d, hi_d)
+                    else:
+                        use_merge, starts, bits, rounds = probe_params(
+                            buf.shape[0])
+                        (valid, missing, edge_missing, *_rest) = \
+                            validate_positions(tkeys, tcov, tfw, tbw,
+                                               starts, jnp.asarray(buf),
+                                               k, self.ui.cov_cutoff,
+                                               bits, rounds, use_merge)
+                        res = qv_window_sums(missing, edge_missing,
+                                             lead_d, hi_d)
+                    pending.append((res, a, b, lead_d, hi_d))
+                    continue
                 if use_pallas and len(self.table):
                     (valid, missing, edge_missing, cov, isfw, right,
                      left) = validate_positions_pallas(
                          tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
                          self.ui.cov_cutoff)
                 else:
-                    use_merge, starts, bits, rounds = probe_params(nbuf)
+                    use_merge, starts, bits, rounds = probe_params(
+                        buf.shape[0])
                     (valid, missing, edge_missing, cov, isfw, right,
                      left) = validate_positions(tkeys, tcov, tfw, tbw,
                                                 starts, jnp.asarray(buf),
@@ -189,29 +207,46 @@ class DBG:
                 track.isfw[a:b] = np.asarray(isfw[sl])
                 track.right[a:b] = np.asarray(right[sl])
                 track.left[a:b] = np.asarray(left[sl])
+            for res, wa, wb, lead_d, hi_d in pending:
+                arr = np.asarray(res)
+                if arr[2] == 0:
+                    # grid-depth hint was too small for this window
+                    # (key skew): re-run with the true depth
+                    buf = self._window_buf(codes, wa, wb, kcount)
+                    arr = np.asarray(validate_qv_sums_pallas(
+                        tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
+                        self.ui.cov_cutoff, lead_d, hi_d, sync=True))
+                self.tot_missing += int(arr[0])
+                self.tot_edge_missing += int(arr[1])
             self.tot_kcount += kcount
-            self.tracks.append(track)
+            if need_tracks:
+                self.tracks.append(track)
 
         self._print_qv(out, k)
 
-    def _seq_windows(self, codes, kcount: int):
-        """(a, b, lead, buf) per fixed validate window of one segment —
-        one base of context on each side keeps the edge tests exact at
-        window seams."""
+    def _window_buf(self, codes, a: int, b: int, kcount: int):
+        """One validate-window buffer: one base of context on each
+        side keeps the edge tests exact at window seams."""
         win = self.VALIDATE_WINDOW
         k = self.k
+        nbuf = _bucket(b - a + k + 1) if b - a + k + 1 < win \
+            else win + k + 1
+        buf = np.full(nbuf, 4, np.uint8)
+        lead = 1
+        if a > 0:
+            buf[0] = codes[a - 1]
+        buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
+        if b < kcount:
+            buf[lead + (b - a) + k - 1] = codes[b + k - 1]
+        return buf
+
+    def _seq_windows(self, codes, kcount: int):
+        """(a, b, lead, buf) per fixed validate window of one
+        segment."""
+        win = self.VALIDATE_WINDOW
         for a in range(0, kcount, win):
             b = min(a + win, kcount)
-            nbuf = _bucket(b - a + k + 1) if b - a + k + 1 < win \
-                else win + k + 1
-            buf = np.full(nbuf, 4, np.uint8)
-            lead = 1
-            if a > 0:
-                buf[0] = codes[a - 1]
-            buf[lead:lead + (b - a) + k - 1] = codes[a:b + k - 1]
-            if b < kcount:
-                buf[lead + (b - a) + k - 1] = codes[b + k - 1]
-            yield a, b, lead, buf
+            yield a, b, 1, self._window_buf(codes, a, b, kcount)
 
     def _validate_windowed(self) -> None:
         """Out-of-core validate with the loop order INVERTED: table

@@ -655,6 +655,201 @@ def probe_select_pallas(tkeys, cov, fw, bw, qkeys, qctx):
     return found[:q], pcov[:q], right[:q], left[:q]
 
 
+# ---------------------------------------------------------------------------
+# QV-probe: the sums-only validate fast path
+# ---------------------------------------------------------------------------
+# Plain `kreeq validate` (no track output) consumes ONLY the two QV
+# aggregates per window: #missing and #edge-missing positions
+# (reference: the DBGbase tracks filled by evaluateSegment,
+# src/kreeq.cpp:143-219, feed only the QV totals at
+# src/kreeq.cpp:78-106 unless a bed/csv/kwig/bkwig writer runs).
+# Sums are order-invariant, so this path never restores query order
+# (the select-probe's 15.7 ms keyed sort disappears) and the kernel
+# contracts 10 INDICATOR rows (cov>=cutoff, the 8 edge columns != 0,
+# and the found marker) instead of 37 u8 value limbs.  Window bounds
+# ride the carried query index as a mask.
+
+IROW = 16  # 10 indicator rows + pad to the f32 sublane multiple
+
+
+def _probe_kernel_ind(base_ref, nch_ref, qhi_ref, qlo_ref, thi_ref,
+                      tlo_ref, pay_ref, out_ref, qhi_s, qlo_s, *,
+                      tbias: int):
+    """Indicator variant of _probe_kernel: rows 0 = cov >= cutoff,
+    1-8 = fw0-3/bw0-3 != 0, 9 = found.  tbias = cutoff - 2^31: u32
+    compare via the signed-bias trick (cov rows are u32 bit patterns
+    in i32)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((IROW, QT), jnp.float32)
+        qhi_s[:, :] = jnp.transpose(qhi_ref[:, :], (1, 0))
+        qlo_s[:, :] = jnp.transpose(qlo_ref[:, :], (1, 0))
+
+    @pl.when(j < nch_ref[i])
+    def _():
+        eq = ((qhi_s[:, :] == thi_ref[:, :])
+              & (qlo_s[:, :] == tlo_ref[:, :])).astype(jnp.float32)
+        pay = pay_ref[:, :]
+        covok = ((pay[0:1, :] ^ jnp.int32(-(1 << 31)))
+                 >= jnp.int32(tbias)).astype(jnp.float32)
+        edges = (pay[1:9, :] != 0).astype(jnp.float32)
+        ind = jnp.concatenate(
+            [covok, edges, pay[15:16, :].astype(jnp.float32),
+             jnp.zeros((IROW - 10, TT), jnp.float32)], axis=0)
+        # one-hot x 0/1 indicators: exact at single-pass bf16
+        res = jax.lax.dot_general(ind, eq, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[:, :] += res
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _probe_run_ind(qhi, qlo, thi, tlo, pay, nq_tiles: int, dmax: int,
+                   cutoff: int, base=None, nch=None):
+    with jax.enable_x64(False):
+        return _probe_run_ind_x32(qhi, qlo, thi, tlo, pay, nq_tiles,
+                                  dmax, cutoff, base, nch)
+
+
+def _probe_run_ind_x32(qhi, qlo, thi, tlo, pay, nq_tiles, dmax, cutoff,
+                       base, nch):
+    tchunks = thi.shape[1] // TT
+    qhi = qhi.reshape(1, -1)
+    qlo = qlo.reshape(1, -1)
+
+    def qmap(i, j, b, n):
+        del j, b, n
+        return (0, i)
+
+    def tmap(i, j, b, n):
+        c = b[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
+        return (0, jnp.minimum(c, tchunks - 1))
+
+    def omap(i, j, b, n):
+        del j, b, n
+        return (0, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq_tiles, dmax),
+        in_specs=[
+            pl.BlockSpec((1, QT), qmap),
+            pl.BlockSpec((1, QT), qmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((PCOL, TT), tmap),
+        ],
+        out_specs=pl.BlockSpec((IROW, QT), omap),
+        scratch_shapes=[
+            pltpu.VMEM((QT, 1), jnp.int32),
+            pltpu.VMEM((QT, 1), jnp.int32),
+        ],
+    )
+    tbias = max(int(cutoff), 1) - (1 << 31)
+    return pl.pallas_call(
+        partial(_probe_kernel_ind, tbias=tbias),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((IROW, nq_tiles * QT),
+                                       jnp.float32),
+        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
+    )(base, nch, qhi, qlo, thi, tlo, pay)
+
+
+@jax.jit
+def _post_qv(out, sidx, sctx, lead, hi, nch, dmax):
+    """QV sums from indicator rows, in SORTED order (no restore):
+    missing = ~(found & covok); edge-missing = found & covok with both
+    selected edge columns zero (a ctx row selector of 0 encodes "no
+    neighbour base", making that side a non-witness — reference
+    semantics at src/kreeq.cpp:176-210).  Positions outside
+    [lead, hi) (window seam context + pads) are masked by the carried
+    index.
+
+    Returns i64[3] = (miss, edge, depth_ok): ONE array so the caller
+    reads everything back in one transfer.  depth_ok = every tile's
+    span fit the hinted grid depth; a 0 means the kernel skipped
+    chunks and the window must be recomputed with the true depth (the
+    hint scheme avoids a blocking max(nch) readback per window — a
+    ~26 ms pipeline bubble through the tunnel)."""
+    found = out[9] > 0
+    covok = out[0] > 0
+    row_r = sctx & 0xF
+    row_l = (sctx >> 4) & 0xF
+    rnz = jnp.zeros_like(found)
+    lnz = jnp.zeros_like(found)
+    for j in range(1, 9):
+        nz = out[j] > 0
+        rnz = rnz | ((row_r == j) & nz)
+        lnz = lnz | ((row_l == j) & nz)
+    ok = found & covok
+    no_right = (row_r != 0) & ~rnz
+    no_left = (row_l != 0) & ~lnz
+    edge_missing = ok & no_left & no_right
+    inwin = (sidx >= lead) & (sidx < hi)
+    miss_n = jnp.sum((~ok & inwin).astype(jnp.int32))
+    edge_n = jnp.sum((edge_missing & inwin).astype(jnp.int32))
+    depth_ok = (jnp.max(nch) <= dmax).astype(jnp.int32)
+    return jnp.stack([miss_n.astype(jnp.int64),
+                      edge_n.astype(jnp.int64),
+                      depth_ok.astype(jnp.int64)])
+
+
+# dmax hints per (tchunks, nq_tiles): one blocking readback the first
+# time a shape pair is seen, then reused; _post_qv's depth_ok flag
+# catches (rare, skew-driven) underestimates and the wrapper retries
+# with the true depth, raising the hint.
+_dmax_hints: dict = {}
+
+
+def probe_qv_pallas(tkeys, cov, fw, bw, qkeys, qctx, lead, hi,
+                    cutoff: int):
+    """Standalone sums-only probe: (#missing, #edge-missing) among
+    query positions with lead <= index < hi.  qctx packs the two
+    vals-row selectors with 0 = that side has no neighbour base.
+    Same wrapper structure as probe_select_pallas."""
+    q = qkeys.shape[0]
+    if q == 0 or tkeys.shape[0] == 0:
+        # nothing can be found: every in-window position is missing
+        n_in = jnp.maximum(
+            jnp.minimum(hi.astype(jnp.int32), jnp.int32(q))
+            - lead.astype(jnp.int32), 0)
+        return n_in, jnp.int32(0)
+    if q > (1 << 24) - QT:
+        found, pcov, right, left = probe_select_pallas(
+            tkeys, cov, fw, bw, qkeys, qctx)
+        return _sum_qv_xla(found, pcov, right, left, qctx, lead, hi,
+                           cutoff)
+    sidx, sctx, qhi, qlo, base, nch = _probe_prep_sel(tkeys, qkeys, qctx)
+    dmax = _grid_depth(nch)
+    thi, tlo, pay = _cached_pack_table(tkeys, cov, fw, bw)
+    nq_tiles = qhi.shape[0] // QT
+    out = _probe_run_ind(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                         max(int(cutoff), 1), base=base, nch=nch)
+    res = _post_qv(out, sidx, sctx, lead, hi, nch, jnp.int32(dmax))
+    return res[0].astype(jnp.int32), res[1].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _sum_qv_xla(found, cov, right, left, qctx, lead, hi, cutoff: int):
+    """The same QV sums over a generic selected probe result (the
+    big-window / empty-table fallback)."""
+    q = found.shape[0]
+    idx = jnp.arange(q, dtype=jnp.uint32)
+    inwin = (idx >= lead) & (idx < hi)
+    cut = jnp.uint32(max(int(cutoff), 1))
+    ok = found & (cov >= cut)
+    row_r = qctx & jnp.uint32(0xF)
+    row_l = (qctx >> jnp.uint32(4)) & jnp.uint32(0xF)
+    no_right = (row_r != 0) & ~(ok & (right != 0))
+    no_left = (row_l != 0) & ~(ok & (left != 0))
+    edge_missing = ok & no_left & no_right
+    miss_n = jnp.sum((~ok & inwin).astype(jnp.int32))
+    edge_n = jnp.sum((edge_missing & inwin).astype(jnp.int32))
+    return miss_n, edge_n
+
+
 @jax.jit
 def _select_xla(found, cov, fw, bw, qctx):
     """The same context selection applied to a generic probe result."""

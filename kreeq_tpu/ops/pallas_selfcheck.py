@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-KERNELS = ("count", "probe", "merge")
+KERNELS = ("count", "probe", "qv", "merge")
 
 
 def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
@@ -69,6 +69,24 @@ def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
         verdict["probe"] = all(
             np.array_equal(np.asarray(a), np.asarray(b))
             for a, b in zip(pref, pgot))
+    except Exception:  # noqa: BLE001
+        pass
+
+    try:
+        from .validate import validate_positions, validate_qv_sums_pallas
+
+        qcodes = jnp.asarray(rng.integers(0, 4, n // 2).astype(np.uint8))
+        p = n // 2 - k + 1
+        vref = validate_positions(ref[0], ref[1], ref[2], ref[3],
+                                  jnp.zeros((1 << 8) + 1, jnp.int32),
+                                  qcodes, k, 0, 8, 1, True)
+        want = (int(np.asarray(vref[1][1:p - 1]).sum()),
+                int(np.asarray(vref[2][1:p - 1]).sum()))
+        res = validate_qv_sums_pallas(ref[0], ref[1], ref[2], ref[3],
+                                      qcodes, k, 0, jnp.uint32(1),
+                                      jnp.uint32(p - 1))
+        verdict["qv"] = (int(res[0]), int(res[1])) == want \
+            and int(res[2]) == 1
     except Exception:  # noqa: BLE001
         pass
 

@@ -105,6 +105,19 @@ def _classify_jit(codes, probe, k: int, cutoff: int, isfw=None,
     return _classify(codes, k, cutoff, isfw, valid, found, cov, fw, bw)
 
 
+@jax.jit
+def qv_window_sums(missing, edge_missing, lead, hi):
+    """Window-masked QV sums of a full classification result (the
+    sums-only path for the XLA probe).  Returns i64[3] with the same
+    layout as validate_qv_sums_pallas (depth_ok always 1)."""
+    idx = jnp.arange(missing.shape[0], dtype=jnp.uint32)
+    inwin = (idx >= lead) & (idx < hi)
+    return jnp.stack(
+        [jnp.sum((missing & inwin).astype(jnp.int64)),
+         jnp.sum((edge_missing & inwin).astype(jnp.int64)),
+         jnp.int64(1)])
+
+
 def validate_positions_table(table, codes, k: int, cutoff: int):
     """validate_positions with the probe routed through
     KmerTable.probe_device — transparently pages table windows when
@@ -181,6 +194,82 @@ def _post_sel_fused(out, sidx, sctx, isfw, valid, k: int, cutoff: int,
                                _probe_post_sel(out, sidx, sctx))
     return _classify_sel(codes, (found, cov, right, left), k, cutoff,
                          isfw=isfw, valid=valid)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _extract_ctx_qv(codes, k: int):
+    """_extract_ctx with the QV encoding: a row selector of 0 means
+    that side has no neighbour base (has_next/has_prev false), so the
+    sums-only post never needs codes in sorted order."""
+    keys, isfw, _edges, valid = kmer_positions(codes, k)
+    from .kmers import SENTINEL
+
+    # invalid windows (non-ACGT base) carry raw garbage keys plus the
+    # valid flag; the sums path has no position-order classify to apply
+    # it, so mask them to SENTINEL (can never match the table)
+    keys = jnp.where(valid, keys, SENTINEL)
+    p = keys.shape[0]
+    nxt = jnp.concatenate([codes[k:], jnp.full((1,), 4, jnp.uint8)])
+    prv = jnp.concatenate([jnp.full((1,), 4, jnp.uint8), codes[: p - 1]])
+    nc = (nxt & 3).astype(jnp.int32)
+    pc = (prv & 3).astype(jnp.int32)
+    row_r = jnp.where(nxt <= 3,
+                      jnp.where(isfw, 1 + nc, 5 + (3 - nc)), 0)
+    row_l = jnp.where(prv <= 3,
+                      jnp.where(isfw, 5 + pc, 1 + (3 - pc)), 0)
+    ctx = (row_r | (row_l << 4)).astype(jnp.uint32)
+    return keys, ctx
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _prep_qv_fused(tkeys, codes, k: int):
+    """ONE dispatch: extraction + QV selection context + query sort +
+    per-tile table spans."""
+    from .pallas_kernels import _probe_prep_sel
+
+    keys, ctx = _extract_ctx_qv(codes, k)
+    return _probe_prep_sel(tkeys, keys, ctx)
+
+
+@jax.jit
+def _pack3(mn, en):
+    return jnp.stack([mn.astype(jnp.int64), en.astype(jnp.int64),
+                      jnp.int64(1)])
+
+
+def validate_qv_sums_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
+                            cutoff: int, lead, hi, sync: bool = False):
+    """Sums-only validate fast path — all plain `validate` consumes
+    (reference: the evaluateSegment tracks feed only the QV totals,
+    src/kreeq.cpp:78-106, unless a track writer runs).  No query-order
+    restore; the kernel contracts indicator rows only.
+
+    Returns a device i64[3] = (#missing, #edge-missing, depth_ok) over
+    positions lead <= i < hi.  The kernel grid depth comes from a
+    cached per-shape hint so no blocking readback serializes the
+    window pipeline; depth_ok == 0 means the hint was too small (rare
+    key skew) and the caller must re-run the window with sync=True,
+    which reads back the true depth.  lead/hi must be jnp.uint32
+    scalars."""
+    from . import pallas_kernels as PK
+
+    q = codes.shape[0] - k + 1
+    if q <= 0 or tkeys.shape[0] == 0 or q > (1 << 24) - PK.QT:
+        keys, ctx = _extract_ctx_qv(codes, k)
+        mn, en = PK.probe_qv_pallas(tkeys, tcov, tfw, tbw, keys, ctx,
+                                    lead, hi, cutoff)
+        return _pack3(mn, en)
+    sidx, sctx, qhi, qlo, base, nch = _prep_qv_fused(tkeys, codes, k)
+    thi, tlo, pay = PK._cached_pack_table(tkeys, tcov, tfw, tbw)
+    nq_tiles = qhi.shape[0] // PK.QT
+    hkey = (thi.shape[1] // PK.TT, nq_tiles)
+    dmax = None if sync else PK._dmax_hints.get(hkey)
+    if dmax is None:
+        dmax = PK._grid_depth(nch)  # one blocking readback per shape
+        PK._dmax_hints[hkey] = max(dmax, PK._dmax_hints.get(hkey, 0))
+    out = PK._probe_run_ind(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
+                            max(int(cutoff), 1), base=base, nch=nch)
+    return PK._post_qv(out, sidx, sctx, lead, hi, nch, jnp.int32(dmax))
 
 
 def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,

@@ -210,6 +210,65 @@ def test_pallas_validate_select_matches_xla(seed, n, badp, k):
         assert np.array_equal(np.asarray(a), np.asarray(b)), name
 
 
+@pytest.mark.parametrize("seed,n,badp,k,cutoff", [
+    (0, 20000, 0.02, 21, 0),
+    (1, 12000, 0.0, 31, 0),
+    (2, 9000, 0.05, 21, 2),     # cutoff > 0: cov threshold in-kernel
+    (3, 7000, 0.0, 15, 300),    # cutoff above every cov: all missing
+])
+def test_pallas_validate_qv_sums_match_xla(seed, n, badp, k, cutoff):
+    """The sums-only QV fast path (indicator kernel, no restore sort)
+    must match the full XLA classifier's window sums exactly,
+    including the seam mask and both fallback routes."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import kmer_positions, count_sorted
+    from kreeq_tpu.ops.validate import (validate_positions,
+                                        validate_qv_sums_pallas)
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, n).astype(np.uint8)
+    keys, _i, edges, valid = kmer_positions(jnp.asarray(genome), k)
+    tkeys, cov, fw, bw, cnt = count_sorted(keys, edges, valid)
+    cnt = int(cnt)
+    tkeys, cov, fw, bw = (a[:cnt] for a in (tkeys, cov, fw, bw))
+
+    codes = rng.integers(0, 4, n // 2).astype(np.uint8)
+    codes[: n // 4] = genome[: n // 4]
+    codes[rng.random(n // 2) < badp] = 4
+    codes_d = jnp.asarray(codes)
+    p = codes.shape[0] - k + 1
+
+    ref = validate_positions(tkeys, cov, fw, bw,
+                             jnp.zeros((1 << 8) + 1, jnp.int32),
+                             codes_d, k, cutoff, 8, 1, True)
+    _valid, missing, edge_missing = ref[0], ref[1], ref[2]
+    for lead, hi in ((0, p), (1, p - 1), (5, p // 2)):
+        want = (int(np.asarray(missing[lead:hi]).sum()),
+                int(np.asarray(edge_missing[lead:hi]).sum()))
+        got = validate_qv_sums_pallas(tkeys, cov, fw, bw, codes_d, k,
+                                      cutoff, jnp.uint32(lead),
+                                      jnp.uint32(hi))
+        assert (int(got[0]), int(got[1])) == want, (lead, hi)
+
+
+def test_pallas_qv_sums_empty_table_fallback():
+    """Empty table routes through the XLA fallback: every valid window
+    is missing, none edge-missing."""
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.validate import validate_qv_sums_pallas
+
+    k = 21
+    codes = np.random.default_rng(7).integers(0, 4, 200).astype(np.uint8)
+    p = codes.shape[0] - k + 1
+    res = validate_qv_sums_pallas(
+        jnp.zeros((0,), jnp.uint64), jnp.zeros((0,), jnp.uint32),
+        jnp.zeros((0, 4), jnp.uint32), jnp.zeros((0, 4), jnp.uint32),
+        jnp.asarray(codes), k, 0, jnp.uint32(0), jnp.uint32(p))
+    assert int(res[0]) == p and int(res[1]) == 0 and int(res[2]) == 1
+
+
 def test_pallas_probe_empty_inputs():
     import jax.numpy as jnp
 
