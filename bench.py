@@ -203,6 +203,12 @@ def main() -> None:
 
         try:
             dt_qv = time_probe(probe_step_qv)
+            # the cached grid-depth hint must have covered every timed
+            # window (depth_ok == res[2]); a short hint would mean the
+            # timed kernel did less work than a correct run
+            chk = validate_qv_sums_pallas(tkeys, cov, fw, bw, asm,
+                                          k, 0, jnp.uint32(0), p_hi)
+            assert int(chk[2]) == 1, "qv grid-depth hint too small"
             if dt_qv < dt_probe:
                 dt_probe, probe_path = dt_qv, "pallas_qv"
         except Exception:  # noqa: BLE001 — never lose the artifact

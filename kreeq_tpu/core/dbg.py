@@ -147,7 +147,7 @@ class DBG:
             starts, bits, rounds = self.table.bucket_index()
             return False, starts, bits, rounds
         if windowed:
-            self._validate_windowed()
+            self._validate_windowed(need_tracks)
         for seg in (() if windowed else self.genome.segments):
             ln = len(seg)
             if ln < k:
@@ -248,7 +248,7 @@ class DBG:
             b = min(a + win, kcount)
             yield a, b, 1, self._window_buf(codes, a, b, kcount)
 
-    def _validate_windowed(self) -> None:
+    def _validate_windowed(self, need_tracks: bool = True) -> None:
         """Out-of-core validate with the loop order INVERTED: table
         key-range windows OUTER, sequence windows inner — each table
         window is uploaded exactly once per run, exactly like the
@@ -302,14 +302,18 @@ class DBG:
                     af[a:b][hit] = True
 
         # final pass: classification from the accumulated selection
+        # (need_tracks=False — plain `validate` at out-of-core scale —
+        # keeps the QV sums but skips materializing per-base tracks,
+        # halving host memory per position)
         for si, seg in segs:
             ln = len(seg)
             if si not in accs:
-                self.tracks.append(
-                    SegmentTrack(np.zeros(ln, np.uint32),
-                                 np.zeros(ln, bool),
-                                 np.zeros(ln, np.uint32),
-                                 np.zeros(ln, np.uint32)))
+                if need_tracks:
+                    self.tracks.append(
+                        SegmentTrack(np.zeros(ln, np.uint32),
+                                     np.zeros(ln, bool),
+                                     np.zeros(ln, np.uint32),
+                                     np.zeros(ln, np.uint32)))
                 continue
             codes = seg.codes
             kcount = ln - k + 1
@@ -317,13 +321,18 @@ class DBG:
             track = SegmentTrack(np.zeros(ln, np.uint32),
                                  np.zeros(ln, bool),
                                  np.zeros(ln, np.uint32),
-                                 np.zeros(ln, np.uint32))
+                                 np.zeros(ln, np.uint32)) \
+                if need_tracks else None
             for a, b, lead, buf in self._seq_windows(codes, kcount):
                 p = buf.shape[0] - k + 1
                 self._classify_acc(jnp.asarray(buf), k, accs[si],
                                    a, b, lead, p, track)
+            # the accumulators for this segment are no longer needed;
+            # free them as we go so peak host RSS stays ~13 B/position
+            del accs[si]
             self.tot_kcount += kcount
-            self.tracks.append(track)
+            if need_tracks:
+                self.tracks.append(track)
 
     def _classify_acc(self, buf_d, k, acc, a, b, lead, p, track):
         """Classify one sequence window from host accumulators."""
@@ -347,10 +356,11 @@ class DBG:
         sl = slice(lead, lead + (b - a))
         self.tot_missing += int(np.asarray(missing[sl]).sum())
         self.tot_edge_missing += int(np.asarray(edge_missing[sl]).sum())
-        track.cov[a:b] = np.asarray(cov[sl])
-        track.isfw[a:b] = np.asarray(isfw[sl])
-        track.right[a:b] = np.asarray(right[sl])
-        track.left[a:b] = np.asarray(left[sl])
+        if track is not None:
+            track.cov[a:b] = np.asarray(cov[sl])
+            track.isfw[a:b] = np.asarray(isfw[sl])
+            track.right[a:b] = np.asarray(right[sl])
+            track.left[a:b] = np.asarray(left[sl])
 
     def _print_qv(self, out, k: int) -> None:
         if "." in self.ui.out_file or self.ui.out_file == "":

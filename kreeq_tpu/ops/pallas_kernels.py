@@ -796,11 +796,28 @@ def _post_qv(out, sidx, sctx, lead, hi, nch, dmax):
                       depth_ok.astype(jnp.int64)])
 
 
-# dmax hints per (tchunks, nq_tiles): one blocking readback the first
-# time a shape pair is seen, then reused; _post_qv's depth_ok flag
+# dmax hints per (tchunks, nq_tiles) AND table identity (held by
+# weakref — a hint computed against one table must not leak to a
+# different same-shaped table): one blocking readback the first time a
+# (table, shape) pair is seen, then reused; _post_qv's depth_ok flag
 # catches (rare, skew-driven) underestimates and the wrapper retries
 # with the true depth, raising the hint.
 _dmax_hints: dict = {}
+
+
+def get_dmax_hint(tkeys, hkey):
+    ent = _dmax_hints.get(hkey)
+    if ent is None or ent[0]() is not tkeys:
+        return None
+    return ent[1]
+
+
+def set_dmax_hint(tkeys, hkey, dmax: int) -> None:
+    import weakref
+
+    ent = _dmax_hints.get(hkey)
+    prev = ent[1] if ent is not None and ent[0]() is tkeys else 0
+    _dmax_hints[hkey] = (weakref.ref(tkeys), max(int(dmax), prev))
 
 
 def probe_qv_pallas(tkeys, cov, fw, bw, qkeys, qctx, lead, hi,

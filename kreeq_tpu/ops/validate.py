@@ -254,7 +254,12 @@ def validate_qv_sums_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
     from . import pallas_kernels as PK
 
     q = codes.shape[0] - k + 1
-    if q <= 0 or tkeys.shape[0] == 0 or q > (1 << 24) - PK.QT:
+    if q <= 0:
+        # no k-mer positions at all: the [lead, hi) window is empty
+        # (_extract_ctx_qv cannot even run — kmer_positions requires
+        # codes of length >= k)
+        return jnp.asarray([0, 0, 1], jnp.int64)
+    if tkeys.shape[0] == 0 or q > (1 << 24) - PK.QT:
         keys, ctx = _extract_ctx_qv(codes, k)
         mn, en = PK.probe_qv_pallas(tkeys, tcov, tfw, tbw, keys, ctx,
                                     lead, hi, cutoff)
@@ -263,10 +268,10 @@ def validate_qv_sums_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
     thi, tlo, pay = PK._cached_pack_table(tkeys, tcov, tfw, tbw)
     nq_tiles = qhi.shape[0] // PK.QT
     hkey = (thi.shape[1] // PK.TT, nq_tiles)
-    dmax = None if sync else PK._dmax_hints.get(hkey)
+    dmax = None if sync else PK.get_dmax_hint(tkeys, hkey)
     if dmax is None:
         dmax = PK._grid_depth(nch)  # one blocking readback per shape
-        PK._dmax_hints[hkey] = max(dmax, PK._dmax_hints.get(hkey, 0))
+        PK.set_dmax_hint(tkeys, hkey, dmax)
     out = PK._probe_run_ind(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
                             max(int(cutoff), 1), base=base, nch=nch)
     return PK._post_qv(out, sidx, sctx, lead, hi, nch, jnp.int32(dmax))

@@ -115,11 +115,13 @@ def test_distributed_cli_stdout_matches_single_process(tmp_path):
     assert single.returncode == 0, single.stderr.decode()
     def degloo(b):
         # the gloo CPU backend prints connection banners to stdout
-        # ("[Gloo] ..." and "... peer ranks is : N"); real TPU pods
-        # don't use gloo, so filter them for comparison
+        # ("[Gloo] ..." and "... peer ranks is : N", sometimes with a
+        # leading newline); real TPU pods don't use gloo, so filter
+        # them — and any blank lines they leave behind at the head —
+        # for comparison
         return b"".join(l for l in b.splitlines(keepends=True)
                         if not l.startswith(b"[Gloo]")
-                        and b"peer ranks" not in l)
+                        and b"peer ranks" not in l).lstrip(b"\n")
 
     got, want = degloo(outs[0][0]), single.stdout
     assert got == want, (  # byte-exact stats + QV
