@@ -291,6 +291,15 @@ def _scan_probe_windowed(table, codes_d, cutoff, k: int):
 _scan_probe = None
 
 
+def _variants_window_cap() -> int:
+    """Positions per variants-scan window.  KREEQ_TPU_VARIANTS_WINDOW
+    overrides (tests force tiny caps to exercise seam handling)."""
+    import os
+
+    env = os.environ.get("KREEQ_TPU_VARIANTS_WINDOW")
+    return int(env) if env else (1 << 22)
+
+
 def dbg_to_variants(dbg, seg) -> None:
     """Reference: src/variants.cpp:53-169.
 
@@ -302,6 +311,18 @@ def dbg_to_variants(dbg, seg) -> None:
     case on a healthy assembly).  Only true branch points run the exact
     host Fibonacci-heap search, preserving byte-identical output
     (golden test.50) at a fraction of the reference's cost.
+
+    The scan runs in fixed windows of at most _variants_window_cap()
+    positions (the reference's analog: map-range paging re-scans,
+    src/variants.cpp:75-152), so device memory is bounded regardless
+    of segment length.  Window halos make every window byte-exact:
+    a RIGHT halo of k+max_span+1 positions covers the targets window
+    and the reference-edge key of every core position, and a LEFT halo
+    of max_span positions covers the back-occurrence test — in
+    targets_state, an occurrence o <= c+k flips a key out of the map
+    only when o > a - max_span (a >= c+k+1 being its in-window append
+    position), so occurrences older than max_span positions behind the
+    window never change the outcome.
     """
     k = dbg.k
     ln = len(seg)
@@ -315,15 +336,36 @@ def dbg_to_variants(dbg, seg) -> None:
     cache: Dict[int, object] = {}
     variants: List[List[DBGpath]] = []
 
-    # ONE fused device program: extraction + sentinels + batched probe
-    # + depth-0 candidate scan (the quirk semantics of search_variants'
-    # first iteration: direction = isFw; fw side ignores the cutoff, bw
-    # side applies it; the reference-edge neighbour is excluded).
-    # Positions with no candidates are exactly those whose search
-    # extracts the source, explores nothing, and stops explored=True
-    # with no paths.  codes padded to a power of two: compile-stable
-    # shapes (trailing BAD windows are invalid, so they probe as
-    # not-found and their sentinels collide with nothing).
+    import numpy as np
+
+    win = _variants_window_cap()
+    lh = max_span                 # left halo (positions)
+    rh = k + max_span + 1         # right halo (positions)
+    for wa in range(0, kcount, win):
+        wb = min(wa + win, kcount)
+        lo = max(0, wa - lh)
+        hi = min(kcount, wb + rh)
+        _scan_window_variants(dbg, seg, codes, lo, hi, wa, wb, kcount,
+                              k, max_span, cutoff, table, cache,
+                              variants)
+    seg.variants = variants
+
+
+def _scan_window_variants(dbg, seg, codes, lo: int, hi: int, wa: int,
+                          wb: int, kcount: int, k: int, max_span: int,
+                          cutoff: int, table, cache, variants) -> None:
+    """One fixed window [wa, wb) of the variants scan, probing buffer
+    positions [lo, hi) (core + halos).
+
+    ONE fused device program: extraction + sentinels + batched probe
+    + depth-0 candidate scan (the quirk semantics of search_variants'
+    first iteration: direction = isFw; fw side ignores the cutoff, bw
+    side applies it; the reference-edge neighbour is excluded).
+    Positions with no candidates are exactly those whose search
+    extracts the source, explores nothing, and stops explored=True
+    with no paths.  codes padded to a power-of-two bucket:
+    compile-stable shapes (trailing BAD windows are invalid, so they
+    probe as not-found and their sentinels collide with nothing)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -331,9 +373,10 @@ def dbg_to_variants(dbg, seg) -> None:
     global _scan_probe
     if _scan_probe is None:
         _scan_probe = _scan_probe_fn()
-    pad = max(64, 1 << int(np.ceil(np.log2(ln))))
+    nbase = hi - lo + k - 1  # codes feeding positions [lo, hi)
+    pad = max(64, 1 << int(np.ceil(np.log2(nbase))))
     cbuf = np.full(pad, 4, np.uint8)
-    cbuf[:ln] = codes
+    cbuf[:nbase] = codes[lo:lo + nbase]
     if table.window_ranges() is not None:
         all_keys_d, isfw_d, search_d, covs, fws, bws = \
             _scan_probe_windowed(table, jnp.asarray(cbuf),
@@ -351,7 +394,8 @@ def dbg_to_variants(dbg, seg) -> None:
             jnp.uint32(cutoff), k, use_merge, bits, rounds)
     all_keys = np.asarray(all_keys_d)  # host: targets windows need all
     all_isfw = np.asarray(isfw_d)
-    keys_c = all_keys[:kcount]
+    nloc = hi - lo                     # real (non-pad) buffer positions
+    keys_c = all_keys[:nloc]           # buffer-relative; abs = rel + lo
 
     # Only positions that are found AND have a non-reference candidate
     # run the host search.  The reference's targets_queue/targets_map
@@ -362,20 +406,22 @@ def dbg_to_variants(dbg, seg) -> None:
     # its latest pop event.  `ok` is always 1 (check_next never fails,
     # so edge_count == explored_count every iteration), so one pass
     # visits everything — no re-scan loop is needed.
-    search_positions = np.nonzero(np.asarray(search_d)[:kcount])[0]
-    if search_positions.size > 256:
+    search_rel = np.nonzero(np.asarray(search_d)[:nloc])[0]
+    search_rel = search_rel[(search_rel >= wa - lo)
+                            & (search_rel < wb - lo)]  # core only
+    if search_rel.size > 256:
         # many branch points: one bulk transfer beats per-row fetches
         covs, fws, bws = (np.asarray(a) for a in (covs, fws, bws))
 
-    # last-occurrence index, restricted to keys that can actually be
-    # queried (those inside some search position's target window): one
-    # sorted-membership pass over the segment beats a full stable
-    # argsort of all P keys (the only former use of that sort)
+    # last-occurrence index (ABSOLUTE positions), restricted to keys
+    # that can actually be queried (those inside some search position's
+    # target window): one sorted-membership pass over the buffer beats
+    # a full stable argsort of all P keys
     occ_of: Dict[int, np.ndarray] = {}
-    if search_positions.size:
+    if search_rel.size:
         offs = np.arange(1, max_span + 1)
-        wpos = (search_positions[:, None] + k + offs[None, :]).ravel()
-        wpos = wpos[wpos < kcount]
+        wpos = (search_rel[:, None] + k + offs[None, :]).ravel()
+        wpos = wpos[wpos < min(nloc, kcount - lo)]
         wvals = np.unique(keys_c[wpos])
         wi = np.minimum(np.searchsorted(wvals, keys_c), wvals.size - 1)
         occ_pos = np.nonzero(wvals[wi] == keys_c)[0]  # ascending
@@ -383,10 +429,13 @@ def dbg_to_variants(dbg, seg) -> None:
         bounds = np.searchsorted(wi[occ_pos][occ_grp],
                                  np.arange(wvals.size + 1))
         for j, key in enumerate(wvals):
-            occ_of[int(key)] = occ_pos[occ_grp[bounds[j]:bounds[j + 1]]]
+            occ_of[int(key)] = \
+                occ_pos[occ_grp[bounds[j]:bounds[j + 1]]] + lo
 
     def last_occurrence_le(key, limit: int):
-        """Largest position p <= limit with keys_c[p] == key, or None."""
+        """Largest abs position p <= limit with key at p, or None
+        (positions before the buffer are invisible — see the halo
+        argument in dbg_to_variants)."""
         occ = occ_of.get(int(key))
         if occ is None or occ.size == 0:
             return None
@@ -396,10 +445,10 @@ def dbg_to_variants(dbg, seg) -> None:
     def targets_state(c: int):
         """Queue + map exactly as after iteration c's maintenance."""
         w_lo, w_hi = c + k + 1, min(c + k + max_span + 1, kcount)
-        queue = [int(all_keys[p]) for p in range(w_lo, w_hi)]
+        queue = [int(all_keys[p - lo]) for p in range(w_lo, w_hi)]
         tmap: Dict[int, bool] = {}
         for p in range(w_lo, w_hi):
-            key = int(all_keys[p])
+            key = int(all_keys[p - lo])
             if key in tmap:
                 continue
             a = last_occurrence_le(np.uint64(key), w_hi - 1)  # == some p
@@ -409,11 +458,14 @@ def dbg_to_variants(dbg, seg) -> None:
                 tmap[key] = True
         return queue, tmap
 
-    for c in search_positions:
-        c = int(c)
-        skey, is_fw = int(all_keys[c]), bool(all_isfw[c])
-        rec = (np.asarray(fws[c]), np.asarray(bws[c]), int(covs[c]))
-        ref_key = int(all_keys[c + 1]) if c + 1 <= kcount - 1 else None
+    for c_rel in search_rel:
+        c = int(c_rel) + lo
+        skey = int(all_keys[c_rel])
+        is_fw = bool(all_isfw[c_rel])
+        rec = (np.asarray(fws[c_rel]), np.asarray(bws[c_rel]),
+               int(covs[c_rel]))
+        ref_key = int(all_keys[c_rel + 1]) if c + 1 <= kcount - 1 \
+            else None
         targets_queue, targets_map = targets_state(c)
         ok, paths = search_variants(
             dbg, skey, rec, is_fw, ref_key, targets_queue,
@@ -423,7 +475,6 @@ def dbg_to_variants(dbg, seg) -> None:
             p.pos = c + k
         if paths:
             variants.append(paths)
-    seg.variants = variants
 
 
 def search_variants(dbg, source_key: int, source_rec, is_source_fw: bool,
