@@ -411,6 +411,7 @@ class KmerTable:
     def merge(self, other: "KmerTable") -> "KmerTable":
         """Union with saturating adds (replaces `kreeq union`,
         reference: src/graph-builder.cpp:297-351)."""
+        import jax
         import jax.numpy as jnp
 
         from ..ops import kmers as K
@@ -419,6 +420,10 @@ class KmerTable:
             return other
         if len(other) == 0:
             return self
+        if len(jax.devices()) > 1 and (
+                os.environ.get("KREEQ_TPU_FORCE_SHARDED") == "1"
+                or len(self) + len(other) > (1 << 23)):
+            return self.merge_sharded(other)
         if len(self) + len(other) > _host_merge_threshold():
             # out-of-core union: device HBM can't hold operands +
             # output + sort workspace
@@ -435,6 +440,61 @@ class KmerTable:
         n = int(n)
         return KmerTable(self.k, *(np.asarray(a[:n]) for a in
                                    (mkeys, mcov, mfw, mbw)))
+
+    def merge_sharded(self, other: "KmerTable", mesh=None) -> "KmerTable":
+        """Union across a device mesh: key-range partition both sorted
+        tables on the host (a shard's slice pair is contiguous), merge
+        each slice pair on its device (no inter-device traffic — the
+        SPMD analog of the reference's submap-parallel mergeMaps,
+        src/graph-builder.cpp:338-432), and concatenate the disjoint
+        ascending per-shard results."""
+        import jax.numpy as jnp
+
+        from ..ops.kmers import SENTINEL
+        from ..parallel.sharded import make_mesh, sharded_merge_fn
+
+        if mesh is None:
+            mesh = make_mesh()
+        n = int(mesh.devices.size)
+        # range boundaries = quantiles of the larger table's keys; any
+        # boundaries are correct (searchsorted-left on both sides sends
+        # every key — including one present in both tables — to exactly
+        # one shard), balance only affects padding
+        src = self.keys if len(self) >= len(other) else other.keys
+        bnd = src[(np.arange(1, n) * len(src)) // n]
+        ai = np.concatenate(([0], np.searchsorted(self.keys, bnd),
+                             [len(self)]))
+        bi = np.concatenate(([0], np.searchsorted(other.keys, bnd),
+                             [len(other)]))
+        rows = _pow2(max(int(np.max(ai[1:] - ai[:-1])),
+                         int(np.max(bi[1:] - bi[:-1])), 1))
+        sent = np.uint64(SENTINEL)
+
+        def stack(t, idx):
+            ks = np.full((n, rows), sent, np.uint64)
+            cv = np.zeros((n, rows), np.uint32)
+            fw = np.zeros((n, rows, 4), np.uint32)
+            bw = np.zeros((n, rows, 4), np.uint32)
+            for d in range(n):
+                lo, hi = int(idx[d]), int(idx[d + 1])
+                m = hi - lo
+                ks[d, :m] = t.keys[lo:hi]
+                cv[d, :m] = t.cov[lo:hi]
+                fw[d, :m] = t.fw[lo:hi]
+                bw[d, :m] = t.bw[lo:hi]
+            return ks, cv, fw, bw
+
+        step = sharded_merge_fn(mesh)
+        out = step(*(jnp.asarray(x) for x in
+                     stack(self, ai) + stack(other, bi)))
+        mk, mc, mf, mb, nm = (np.asarray(x) for x in out)
+        keep = [slice(0, int(nm[d])) for d in range(n)]
+        return KmerTable(
+            self.k,
+            np.concatenate([mk[d][keep[d]] for d in range(n)]),
+            np.concatenate([mc[d][keep[d]] for d in range(n)]),
+            np.concatenate([mf[d][keep[d]] for d in range(n)]),
+            np.concatenate([mb[d][keep[d]] for d in range(n)]))
 
     # -- probing -----------------------------------------------------------
 

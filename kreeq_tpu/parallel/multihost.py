@@ -7,7 +7,7 @@ TPU-native replacement runs ONE SPMD program over a global device mesh
 spanning all hosts (`jax.distributed`): every host streams its shard of
 the read files, records route to their owner device with all_to_all
 (ICI within a host's slice, DCN across hosts), and each device keeps
-the sub-table for keys `key % n_global_devices == device_index`.
+the sub-table for keys it owns (mixed-hash ownership, sharded.owner_of).
 Shards are disjoint, so the cross-host "union" needs no data movement
 at all — it happens implicitly during routing.
 

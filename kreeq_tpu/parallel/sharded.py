@@ -59,6 +59,26 @@ def _bin_capacity(p: int, n: int, full: bool) -> int:
     return min(max(cap, 128), p)
 
 
+# Fibonacci multiplicative mix for shard ownership.  The reference
+# partitions by `key % mapCount` (src/kreeq.cpp:146) — fine for hash
+# MAP sizing, but canonical k-mer keys are structurally skewed in
+# their low bits: a k-mer ending in T has a revcomp starting with A
+# (high bits 00) that nearly always wins min(fw, rc), so canonical
+# keys rarely end in T/G and `key % n` loads shards up to ~10x apart
+# (measured on random 31-mers).  A multiplicative mix makes ownership
+# uniform so the 2x capacity-factor bins hold.
+_OWNER_MIX = 0x9E3779B97F4A7C15
+
+
+def owner_of(keys, n: int):
+    """Owner shard of each canonical key (device or numpy arrays)."""
+    if isinstance(keys, np.ndarray) or np.isscalar(keys):
+        return (np.uint64(keys) * np.uint64(_OWNER_MIX)
+                >> np.uint64(40)) % np.uint64(n)
+    mixed = (keys * jnp.uint64(_OWNER_MIX)) >> jnp.uint64(40)
+    return (mixed % jnp.uint64(n)).astype(jnp.int32)
+
+
 def _bucket_by_owner(keys, payload, valid, n: int, bucket: int):
     """Scatter records into [n, bucket] per-owner bins (local op).
 
@@ -68,7 +88,8 @@ def _bucket_by_owner(keys, payload, valid, n: int, bucket: int):
     carry SENTINEL keys.
     """
     p = keys.shape[0]
-    owner = jnp.where(valid, (keys % jnp.uint64(n)).astype(jnp.int32), n)
+    mixed = (keys * jnp.uint64(_OWNER_MIX)) >> jnp.uint64(40)
+    owner = jnp.where(valid, (mixed % jnp.uint64(n)).astype(jnp.int32), n)
     order = jnp.argsort(owner, stable=True)
     owner_s = owner[order]
     keys_s = jnp.where(valid[order], keys[order], SENTINEL)
@@ -284,3 +305,33 @@ def full_pipeline_fn(mesh: Mesh, k: int, table_rows: int | None = None):
         return out[:-1] + (out[-1] + count_drop,)
 
     return jax.jit(step)
+
+
+def sharded_merge_fn(mesh: Mesh):
+    """Build the jitted SPMD union-merge step.
+
+    TPU-native `kreeq union` at scale (reference workload:
+    src/graph-builder.cpp:297-432, submap-parallel mergeMaps): the two
+    input tables are key-range partitioned on the host (both are
+    sorted, so a shard's slice pair is contiguous), each device merges
+    its slice pair locally with the saturating sorted merge, and the
+    concatenation of per-shard results — disjoint, ascending ranges —
+    is the merged table with no inter-device data movement at all.
+
+    Inputs: [n, rows] per-shard SENTINEL-padded slices of each table
+    (stacked on the device axis).  Outputs: [n, 2*rows] merged
+    SENTINEL-padded rows + [n] real-row counts.
+    """
+    from ..ops.kmers import merge_sorted
+
+    def local_step(ak, ac, af, ab, bk, bc, bf, bb):
+        mk, mc, mf, mb, nm = merge_sorted(ak[0], ac[0], af[0], ab[0],
+                                          bk[0], bc[0], bf[0], bb[0])
+        return mk[None], mc[None], mf[None], mb[None], nm[None]
+
+    from jax import shard_map
+
+    specs = (P(AXIS),) * 8
+    fn = shard_map(local_step, mesh=mesh, in_specs=specs,
+                   out_specs=(P(AXIS),) * 5)
+    return jax.jit(fn)

@@ -144,11 +144,13 @@ def test_sharded_tables_match_host_table(mesh):
     tkeys = np.asarray(tkeys)
     tcov = np.asarray(tcov)
 
+    from kreeq_tpu.parallel.sharded import owner_of
+
     got = {}
     for d in range(n):
         for key, cov in zip(tkeys[d], tcov[d]):
             if key != int(np.uint64(SENTINEL)):
-                assert int(key) % n == d  # shard ownership
+                assert int(owner_of(np.uint64(key), n)) == d  # ownership
                 got[int(key)] = got.get(int(key), 0) + int(cov)
 
     import tempfile
@@ -169,3 +171,114 @@ def test_sharded_tables_match_host_table(mesh):
     assert np.array_equal(sharded.cov, want.cov)
     assert np.array_equal(sharded.fw, want.fw)
     assert np.array_equal(sharded.bw, want.bw)
+
+
+def test_sharded_union_merge_matches_single_device(mesh):
+    """merge_sharded (key-range partition + per-shard saturating
+    merges) must equal the single-device merge, including u32
+    saturation on keys present in both tables."""
+    from kreeq_tpu.core.table import KmerTable
+
+    rng = np.random.default_rng(21)
+    k = 21
+
+    def mk_table(nkeys, seed):
+        r = np.random.default_rng(seed)
+        keys = np.unique(r.integers(0, 1 << 42, nkeys, dtype=np.uint64))
+        cov = r.integers(1, 1 << 31, len(keys), dtype=np.uint32)
+        fw = r.integers(0, 1 << 31, (len(keys), 4), dtype=np.uint32)
+        bw = r.integers(0, 1 << 31, (len(keys), 4), dtype=np.uint32)
+        return KmerTable(k, keys, cov, fw, bw)
+
+    a = mk_table(5000, 1)
+    b = mk_table(3000, 2)
+    # force overlap (saturating adds: 2^31-scale values sum within u32
+    # range normally; plant a few saturating rows explicitly)
+    b.keys[:500] = a.keys[1000:1500]
+    order = np.argsort(b.keys, kind="stable")
+    b = KmerTable(k, b.keys[order], b.cov[order], b.fw[order],
+                  b.bw[order])
+    i = np.searchsorted(b.keys, a.keys[1000])
+    b.cov[i] = np.uint32(0xFFFFFFF0)  # forces saturation with a's cov
+
+    want = a.merge(b)  # single-device path (small input, no force)
+    got = a.merge_sharded(b, mesh)
+    assert np.array_equal(got.keys, want.keys)
+    assert np.array_equal(got.cov, want.cov)
+    assert np.array_equal(got.fw, want.fw)
+    assert np.array_equal(got.bw, want.bw)
+    assert rng is not None
+
+
+@pytest.mark.slow
+def test_sharded_probe_scale_fast_path(mesh):
+    """VERDICT r3 item 9: ~8M keys/device on the virtual 8-device mesh.
+
+    Asserts the capacity-factor fast path holds (zero dropped records
+    in count AND probe — no full-bin retry needed) and that the routed
+    probe's per-position answers exactly match a host oracle over the
+    concatenated shard tables."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from kreeq_tpu.ops.kmers import SENTINEL, kmer_positions
+    from kreeq_tpu.parallel.sharded import (probe_bits,
+                                            sharded_bucket_fn,
+                                            sharded_count_fn,
+                                            sharded_probe_fn)
+
+    n = mesh.devices.size
+    k = 31
+    read_chunk = 1 << 23   # ~8.4M positions/device -> ~8M keys/shard
+    asm_chunk = 1 << 21
+    rng = np.random.default_rng(5)
+    read_codes = rng.integers(0, 4, (n, read_chunk)).astype(np.uint8)
+    # assembly rows resample read windows (hits) + fresh noise (misses)
+    asm_codes = np.empty((n, asm_chunk), np.uint8)
+    for d in range(n):
+        asm_codes[d, :asm_chunk // 2] = \
+            read_codes[(d + 1) % n, :asm_chunk // 2]
+        asm_codes[d, asm_chunk // 2:] = \
+            rng.integers(0, 4, asm_chunk - asm_chunk // 2)
+
+    count = sharded_count_fn(mesh, k)
+    tkeys, tcov, tfw, tbw, nvalid, drop = count(jnp.asarray(read_codes))
+    jax.block_until_ready(tkeys)
+    assert int(np.asarray(drop)[0]) == 0  # count fast path held
+    rows = tkeys.shape[-1]
+    nv = np.asarray(nvalid)
+    assert nv.min() >= (1 << 23) * 0.9 / 1.05, (
+        f"expected ~8M keys/device, got min {nv.min()}")
+
+    bits = probe_bits(rows, k)
+    starts = sharded_bucket_fn(mesh, k, bits)(tkeys)
+    probe = sharded_probe_fn(mesh, k, bits)
+    t0 = time.perf_counter()
+    qfound, qcov, tot, miss, emiss, pdrop = probe(
+        tkeys, tcov, tfw, tbw, starts, jnp.asarray(asm_codes))
+    jax.block_until_ready(qfound)
+    dt = time.perf_counter() - t0
+    assert int(np.asarray(pdrop)[0]) == 0  # probe fast path held
+    print(f"\nsharded probe: {n}x{asm_chunk - k + 1} queries vs "
+          f"{nv.sum()} keys in {dt:.2f}s (virtual CPU mesh)")
+
+    # host oracle over the concatenated shard tables
+    hk = np.asarray(tkeys).reshape(-1)
+    hc = np.asarray(tcov).reshape(-1)
+    real = hk != np.uint64(SENTINEL)
+    hk, hc = hk[real], hc[real]
+    order = np.argsort(hk, kind="stable")
+    hk, hc = hk[order], hc[order]
+    qf = np.asarray(qfound)
+    qc = np.asarray(qcov)
+    for d in range(n):
+        keys, _isfw, _e, valid = kmer_positions(
+            jnp.asarray(asm_codes[d]), k)
+        keys, valid = np.asarray(keys), np.asarray(valid)
+        i = np.clip(np.searchsorted(hk, keys), 0, len(hk) - 1)
+        found = (hk[i] == keys) & valid
+        assert np.array_equal(qf[d], found)
+        assert np.array_equal(qc[d], np.where(found, hc[i], 0))
+    assert int(np.asarray(miss)[0]) > 0  # noise produced real misses
