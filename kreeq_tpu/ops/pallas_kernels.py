@@ -55,7 +55,8 @@ _SENT32 = -1  # 0xFFFFFFFF as i32 (python int: avoids captured consts)
 
 
 def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
-            carry_ref, tot_ref, flush_ref, upper_ref, sem_ref):
+            carry_ref, tot_ref, flush_ref, upper_ref, iota_ref,
+            sem_ref):
     """Refs: lo/hi/edges [1,CTILE] i32 blocks (lane-contiguous — a
     [CTILE,1] block is 1 lane wide: 128x-padded registers and a
     pathological strided DMA, measured at ~2 us/step of overhead);
@@ -87,6 +88,7 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
         ri = jax.lax.broadcasted_iota(jnp.int32, (CTILE, CTILE), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (CTILE, CTILE), 1)
         upper_ref[:, :] = (ri <= ci).astype(jnp.float32)
+        iota_ref[:, :] = ri
 
     prev_lo_in = carry_ref[0]
     prev_hi_in = carry_ref[1]
@@ -118,36 +120,55 @@ def _kernel(lo_ref, hi_ref, edges_ref, out_ref, cnt_ref,
     # inclusive prefix sums along lanes via upper-triangular MXU matmul
     # (exact: cumulative counts stay < 2^24 per chunk); the triangular
     # matrix is built once at t == 0 (scratch persists across steps)
-    r = jax.lax.broadcasted_iota(jnp.int32, (CTILE, CTILE), 0)
     upper = upper_ref[:, :]
     # 0/1 x 0/1: bf16-exact, DEFAULT precision is fine and 6x cheaper
-    cum = jax.lax.dot_general(m, upper, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    cum = cum + tot_ref[:, :]
+    cum_w = jax.lax.dot_general(m, upper, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    cum = cum_w + tot_ref[:, :]
 
-    # emitted row for lane j = cumulative sums at j-1 (= totals of
-    # the ending run) + the ENDING run's key limbs (prev key)
-    cum_prev = jnp.where(lane0, tot_ref[:, :],
-                         pltpu.roll(cum, np.int32(1), axis=1))
-    u16lo0 = (prev_lo & 0xFFFF).astype(jnp.float32)
-    u16lo1 = ((prev_lo >> 16) & 0xFFFF).astype(jnp.float32)
-    u16hi0 = (prev_hi & 0xFFFF).astype(jnp.float32)
-    u16hi1 = ((prev_hi >> 16) & 0xFFFF).astype(jnp.float32)
+    # emitted row for lane j = cumulative sums at j-1 (= totals of the
+    # ending run) + the ENDING run's key limbs (prev key).  The
+    # cumulative value splits as (carry-in total) + (within-tile
+    # prefix <= CTILE): only the within part rides the compaction
+    # matmul — as two u8 limb rows per column, exact at single-pass
+    # DEFAULT (bf16) precision — and the constant carry-in is re-added
+    # after compaction via a compacted all-ones indicator row.  (The
+    # round-3 kernel compacted full 24-bit cumulatives, which forced
+    # the 6-pass HIGHEST decomposition: ~60% of the step.)
+    within_prev = jnp.where(lane0, jnp.zeros((NCOL, 1), jnp.float32),
+                            pltpu.roll(cum_w, np.int32(1), axis=1))
+    whi = jnp.floor(within_prev[:9] * (1.0 / 256.0))
+    wlo = within_prev[:9] - 256.0 * whi
+
+    def kb8(x, sh):
+        return (jax.lax.shift_right_logical(
+            x, jnp.full_like(x, sh)) & 0xFF).astype(jnp.float32)
+
+    klimbs = jnp.concatenate(
+        [kb8(prev_lo, 0), kb8(prev_lo, 8), kb8(prev_lo, 16),
+         kb8(prev_lo, 24), kb8(prev_hi, 0), kb8(prev_hi, 8),
+         kb8(prev_hi, 16), kb8(prev_hi, 24)], axis=0)
     rows = jnp.concatenate(
-        [cum_prev[:9], u16lo0, u16lo1, u16hi0, u16hi1,
-         jnp.zeros((NCOL - 13, CTILE), jnp.float32)], axis=0)
+        [wlo, whi, klimbs, jnp.ones((1, CTILE), jnp.float32),
+         jnp.zeros((5, CTILE), jnp.float32)], axis=0)  # [32, CTILE]
 
     # stream compaction: one-hot of emission ranks, contracted on MXU
     emit_f = emit.astype(jnp.float32)  # [1, CTILE]
     rank = jax.lax.dot_general(emit_f, upper, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     onehot = ((jnp.broadcast_to(rank.astype(jnp.int32), (CTILE, CTILE))
-               - 1 == r) & emit).astype(jnp.float32)  # [rank r, lane j]
-    # [NCOL, CTILE]: compacted entries along lanes
-    compacted = jax.lax.dot_general(rows, onehot,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=_EXACT)
+               - 1 == iota_ref[:, :]) & emit).astype(jnp.float32)
+    compF = jax.lax.dot_general(rows, onehot,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    ind = compF[26:27]  # 1 where a run landed, 0 on dead columns
+    cum9 = compF[0:9] + 256.0 * compF[9:18] + tot_ref[0:9, :] * ind
+    k16 = jnp.concatenate(
+        [compF[18 + 2 * m_ : 19 + 2 * m_]
+         + 256.0 * compF[19 + 2 * m_ : 20 + 2 * m_] for m_ in range(4)],
+        axis=0)
+    compacted = jnp.concatenate(
+        [cum9, k16, jnp.zeros((NCOL - 13, CTILE), jnp.float32)], axis=0)
     ntile = jnp.sum(emit_f).astype(jnp.int32)
 
     win = CTILE + 128
@@ -220,6 +241,7 @@ def _run_pallas_x32(lo, hi, edges, grid: int, cap: int):
             pltpu.VMEM((NCOL, 1), jnp.float32),
             pltpu.VMEM((NCOL, CTILE + 128), jnp.float32),
             pltpu.VMEM((CTILE, CTILE), jnp.float32),
+            pltpu.VMEM((CTILE, CTILE), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -1293,6 +1315,363 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
     na_t = ka.shape[0] // TILE
     out, cnt = _merge_run(first, nch, b_lo, b_hi, ahi, alo, apay,
                           bhir, blor, bpayr, na_t, dmax)
+    keys, cov, fw, bw, n = _merge_post(out, cnt)
+    return keys[:p], cov[:p], fw[:p], bw[:p], n
+
+
+# ---------------------------------------------------------------------------
+# Streaming union/merge kernel v2
+# ---------------------------------------------------------------------------
+# Round-3 verdict: the v1 merge kernel lost to the XLA merge on-chip
+# (merge_path: "xla", 48.5 M rows/s).  Profiling shows why: v1 ran
+# TWO full one-hot MXU compactions per 256-row step (one in flush, one
+# rebuilding the working tile), moved payloads through the bitonic
+# network as 22 f32 u16-limb rows, rebuilt its [n2,n2] iota matrices
+# every step, used the 6-pass HIGHEST matmul decomposition, and
+# blocked on every flush DMA.  v2 keeps the same merge architecture
+# (per-A-tile B spans from _merge_prep, bitonic block merge, bounded
+# emission, saturating dedup, 128-aligned overlap flush) but:
+#   * payloads ride the network as 9 PACKED i32 rows (11 rows total
+#     with the two key halves) — u8 limb extraction happens once, at
+#     flush time, for the single compaction matmul;
+#   * dedup saturating adds run in i32 with the sign-bias trick
+#     (wrap-add + unsigned-overflow detect), no limb carries;
+#   * the keep side needs NO compaction: after the merge network the
+#     keep zone [e_pos:) is live W survivors followed only by
+#     sentinels (dup sentinels always land in the emit zone — a dup
+#     pair's key is <= the chunk bound), so the working tile rebuild
+#     is one dynamic roll + mask;
+#   * ONE one-hot compaction per step (emit zone), built against a
+#     hoisted iota scratch with a roll-doubling prefix rank (no
+#     tri matmul), applied to u8 limbs with a single-pass DEFAULT
+#     (bf16) matmul — exact for 0/1 one-hots times values <= 255.
+# Tile width is a tuning knob (KREEQ_TPU_MERGE_TILE, default 512).
+
+MTILE = int(os.environ.get("KREEQ_TPU_MERGE_TILE", "512"))
+
+
+def _satadd_u32(a, b, add_mask):
+    """Per-lane u32 saturating add of i32-typed rows where add_mask."""
+    s = a + b  # i32 wrap-add == u32 wrap-add
+    ovf = (s ^ _BIAS) < (a ^ _BIAS)  # unsigned s < a  => wrapped
+    sat = jnp.where(ovf, jnp.int32(-1), s)
+    return jnp.where(add_mask, sat, a)
+
+
+def _limbs_u8(rows11, width):
+    """[11, width] i32 (biased khi, biased klo, 9 payload u32-as-i32)
+    -> [48, width] f32 u8-limb rows: 8 key limbs (low->high of the
+    unbiased u64 key) + 36 payload limbs (per column: b0..b3)."""
+    khi = rows11[0:1] - _BIAS
+    klo = rows11[1:2] - _BIAS
+    pay = rows11[2:11]
+
+    def b8(x, sh):
+        return (jax.lax.shift_right_logical(
+            x, jnp.full_like(x, sh)) & 0xFF).astype(jnp.float32)
+
+    key_l = [b8(klo, s) for s in (0, 8, 16, 24)] \
+        + [b8(khi, s) for s in (0, 8, 16, 24)]
+    pay_l = [b8(pay, s) for s in (0, 8, 16, 24)]  # 4 x [9, width]
+    return jnp.concatenate(
+        key_l + pay_l + [jnp.zeros((4, width), jnp.float32)], axis=0)
+
+
+def _pair_u16(comp):
+    """[48, width] f32 compacted u8 limbs -> [MROW, width] output rows
+    (4 key u16 limbs, 9 payload lo16, 9 payload hi16, pad) matching
+    _merge_post's layout."""
+    width = comp.shape[1]
+    k16 = jnp.concatenate(
+        [comp[0:1] + 256.0 * comp[1:2], comp[2:3] + 256.0 * comp[3:4],
+         comp[4:5] + 256.0 * comp[5:6], comp[6:7] + 256.0 * comp[7:8]],
+        axis=0)
+    lo16 = comp[8:17] + 256.0 * comp[17:26]
+    hi16 = comp[26:35] + 256.0 * comp[35:44]
+    return jnp.concatenate(
+        [k16, lo16, hi16, jnp.zeros((MROW - 22, width), jnp.float32)],
+        axis=0)
+
+
+def _rank_roll(live_f, width):
+    """Inclusive prefix count of the [1, width] 0/1 f32 mask via
+    roll-doubling (log2(width) add/where passes — no tri matmul)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    s = live_f.astype(jnp.int32)
+    d = 1
+    while d < width:
+        s = s + jnp.where(lane >= d, pltpu.roll(s, d, axis=1), 0)
+        d *= 2
+    return s  # [1, width] i32 inclusive ranks
+
+
+def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
+                   ahi_ref, alo_ref, apay_ref,
+                   bhi_rev_ref, blo_rev_ref, bpay_rev_ref,
+                   out_ref, cnt_ref,
+                   w_ref, carry_ref, flush_ref, iota_ref, sem_ref):
+    """Scratch: w VMEM [11, MTILE] i32 working tile (biased khi, klo,
+    9 packed payload rows; empty slots read biased-SENTINEL keys);
+    carry SMEM i32[2] (out_off, tail_len); flush VMEM
+    [MROW, 2*MTILE+128] f32; iota VMEM [n2, n2] i32 row indices."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dmax = pl.num_programs(1) - 1
+    n2 = 2 * MTILE
+    sent = jnp.int32(_SENT_BIASED)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        carry_ref[0] = 0
+        carry_ref[1] = 0
+        iota_ref[:, :] = jax.lax.broadcasted_iota(
+            jnp.int32, (n2, n2), 0)
+
+    @pl.when(j == 0)
+    def _():
+        w_ref[0:1, :] = ahi_ref[0, :][None, :] + _BIAS
+        w_ref[1:2, :] = alo_ref[0, :][None, :] + _BIAS
+        w_ref[2:11, :] = apay_ref[:9, :]
+
+    def flush(rows11, live):
+        """Extract u8 limbs of the live lanes, compact with one
+        single-pass one-hot matmul, stream through the 128-aligned
+        overlap window."""
+        width = rows11.shape[1]
+        live_f = live.astype(jnp.float32)
+        rank = _rank_roll(live_f, width)
+        onehot = ((jnp.broadcast_to(rank - 1, (width, width))
+                   == iota_ref[:width, :width])
+                  & live[0, :][None, :]).astype(jnp.float32)
+        limbs = _limbs_u8(rows11, width) * live_f
+        comp = jax.lax.dot_general(limbs, onehot,
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        rows = _pair_u16(comp)
+        ntile = jnp.sum(live_f).astype(jnp.int32)
+
+        out_off = carry_ref[0]
+        tail_len = carry_ref[1]
+        win = n2 + 128
+        comp_pad = jnp.pad(rows, ((0, 0), (0, win - width)))
+        shifted = pltpu.roll(comp_pad, tail_len, axis=1)
+        li = jax.lax.broadcasted_iota(jnp.int32, (MROW, win), 1)
+        merged = jnp.where(li < tail_len, flush_ref[:, :], shifted)
+        total = tail_len + ntile
+        nflush = (total // jnp.int32(128)) * jnp.int32(128)
+        flush_ref[:, :] = merged
+        copy = pltpu.make_async_copy(
+            flush_ref,
+            out_ref.at[:, pl.ds(pl.multiple_of(out_off, 128), win)],
+            sem_ref)
+        copy.start()
+        copy.wait()
+        flush_ref[:, :] = pltpu.roll(
+            merged, (jnp.int32(win) - nflush) % jnp.int32(win), axis=1)
+        carry_ref[0] = out_off + nflush
+        carry_ref[1] = total - nflush
+
+    @pl.when(j < nch_ref[i])
+    def _():
+        # reversed B chunk: span rows live, others sentinel; rotate the
+        # masked prefix to the front so the lane sequence stays
+        # descending (same construction as v1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
+        cstart = (first_ref[i] + j) * MTILE
+        g = cstart + (jnp.int32(MTILE - 1) - lane)
+        inspan = (g >= blo_ref[i]) & (g < bhi_ref[i])
+        bk_hi = jnp.where(inspan, bhi_rev_ref[0, :] + _BIAS, sent)
+        bk_lo = jnp.where(inspan, blo_rev_ref[0, :] + _BIAS, sent)
+        bpay = jnp.where(jnp.broadcast_to(inspan, (9, MTILE)),
+                         bpay_rev_ref[:9, :], 0)
+        pre = jnp.clip(blo_ref[i] - cstart, 0, MTILE)
+        bk_hi = pltpu.roll(bk_hi, pre, axis=1)
+        bk_lo = pltpu.roll(bk_lo, pre, axis=1)
+        bpay = pltpu.roll(bpay, pre, axis=1)
+        inspan_i = jnp.where(inspan, jnp.int32(1), jnp.int32(0))
+        live_b = pltpu.roll(inspan_i, pre, axis=1) > 0
+
+        # the visit's emission bound: the chunk's max REAL key
+        neg = jnp.int32(_BIAS)
+        bhix = jnp.max(jnp.where(live_b, bk_hi, neg))
+        blox = jnp.max(jnp.where(live_b & (bk_hi == bhix), bk_lo, neg))
+        is_last = j == nch_ref[i] - 1
+
+        # [11, n2] = [W | reversed B chunk] -> bitonic merge network
+        brows = jnp.concatenate([bk_hi, bk_lo, bpay], axis=0)
+        rows = jnp.concatenate([w_ref[:, :], brows], axis=1)
+        khi = rows[0:1]
+        klo = rows[1:2]
+        pay = rows[2:11]
+        d = MTILE
+        while d >= 1:
+            f_hi = pltpu.roll(khi, n2 - d, axis=1)
+            f_lo = pltpu.roll(klo, n2 - d, axis=1)
+            b_hi = pltpu.roll(khi, d, axis=1)
+            b_lo = pltpu.roll(klo, d, axis=1)
+            f_pl = pltpu.roll(pay, n2 - d, axis=1)
+            b_pl = pltpu.roll(pay, d, axis=1)
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+            lo_pos = (lane2 % (2 * d)) < d
+            take_f = lo_pos & _key_lt(f_hi, f_lo, khi, klo)
+            take_b = (~lo_pos) & _key_lt(khi, klo, b_hi, b_lo)
+            khi = jnp.where(take_f, f_hi, jnp.where(take_b, b_hi, khi))
+            klo = jnp.where(take_f, f_lo, jnp.where(take_b, b_lo, klo))
+            tf9 = jnp.broadcast_to(take_f, (9, n2))
+            tb9 = jnp.broadcast_to(take_b, (9, n2))
+            pay = jnp.where(tf9, f_pl, jnp.where(tb9, b_pl, pay))
+            d //= 2
+
+        # emission split BEFORE dedup marking: sorted prefix <= bound
+        le_bound = _key_lt(khi, klo, jnp.full_like(khi, bhix),
+                           jnp.full_like(klo, blox)) \
+            | ((khi == bhix) & (klo == blox))
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
+        e_pos = jnp.sum(le_bound.astype(jnp.float32)).astype(jnp.int32)
+        e_pos = jnp.where(is_last, jnp.int32(n2), e_pos)
+        in_emit = pos < e_pos
+
+        # dedup adjacent equals: saturating-add into the LATER lane,
+        # sentinel the earlier (dup pairs never straddle the bound)
+        p_hi = pltpu.roll(khi, 1, axis=1)
+        p_lo = pltpu.roll(klo, 1, axis=1)
+        p_pl = pltpu.roll(pay, 1, axis=1)
+        eq_prev = (pos > 0) & (khi == p_hi) & (klo == p_lo) & \
+            ((khi != sent) | (klo != sent))
+        pay = _satadd_u32(pay, p_pl, jnp.broadcast_to(eq_prev, (9, n2)))
+        eq_i = jnp.where(eq_prev, jnp.int32(1), jnp.int32(0))
+        nxt_eq = pltpu.roll(eq_i, n2 - 1, axis=1) > 0
+        khi = jnp.where(nxt_eq, sent, khi)
+        klo = jnp.where(nxt_eq, sent, klo)
+
+        live = (khi != sent) | (klo != sent)
+        rows11 = jnp.concatenate([khi, klo, pay], axis=0)
+        flush(rows11, live & in_emit)
+
+        # keep side: [e_pos:) is live W survivors then sentinels only —
+        # rebuild W with one dynamic roll + tail mask, no compaction
+        kroll = pltpu.roll(rows11, (jnp.int32(n2) - e_pos)
+                           % jnp.int32(n2), axis=1)
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
+        dead = wlane >= (jnp.int32(n2) - e_pos)
+        wk = kroll[:, :MTILE]
+        w_ref[0:1, :] = jnp.where(dead, sent, wk[0:1])
+        w_ref[1:2, :] = jnp.where(dead, sent, wk[1:2])
+        w_ref[2:11, :] = jnp.where(jnp.broadcast_to(dead, (9, MTILE)),
+                                   0, wk[2:11])
+
+    # span-less tiles still hold their A rows: flush W once at the end
+    @pl.when((j == dmax) & (nch_ref[i] == 0))
+    def _():
+        rows11 = jnp.concatenate(
+            [w_ref[:, :],
+             jnp.concatenate(
+                 [jnp.full((2, MTILE), _SENT_BIASED, jnp.int32),
+                  jnp.zeros((9, MTILE), jnp.int32)], axis=0)], axis=1)
+        live = (rows11[0:1] != sent) | (rows11[1:2] != sent)
+        flush(rows11, live)
+
+    @pl.when((j == dmax) & (i == pl.num_programs(0) - 1))
+    def _():
+        cnt_ref[0, 0] = carry_ref[0] + carry_ref[1]
+
+
+@partial(jax.jit, static_argnums=(10, 11))
+def _merge_run2(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr,
+                na_t: int, dmax: int):
+    with jax.enable_x64(False):
+        return _merge_run2_x32(first, nch, blo, bhi, ahi, alo, apay,
+                               bhir, blor, bpayr, na_t, dmax)
+
+
+def _merge_run2_x32(first, nch, blo, bhi, ahi, alo, apay, bhir, blor,
+                    bpayr, na_t, dmax):
+    nbt = bhir.shape[1] // MTILE
+    n2 = 2 * MTILE
+    cap = (na_t + nbt + 2) * MTILE + n2 + 384
+
+    def amap(i, j, f, n, lo, hi):
+        del j, f, n, lo, hi
+        return (0, i)
+
+    def bmap(i, j, f, n, lo, hi):
+        del lo, hi
+        c = f[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
+        c = jnp.clip(c, 0, nbt - 1)
+        return (0, nbt - 1 - c)  # reversed array chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(na_t, dmax + 1),
+        in_specs=[
+            pl.BlockSpec((1, MTILE), amap),
+            pl.BlockSpec((1, MTILE), amap),
+            pl.BlockSpec((PCOL, MTILE), amap),
+            pl.BlockSpec((1, MTILE), bmap),
+            pl.BlockSpec((1, MTILE), bmap),
+            pl.BlockSpec((PCOL, MTILE), bmap),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((11, MTILE), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((MROW, n2 + 128), jnp.float32),
+            pltpu.VMEM((n2, n2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, cnt = pl.pallas_call(
+        _merge_kernel2,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((MROW, cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
+    )(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr)
+    return out, cnt
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _merge_prep_t(keys_a, keys_b, tile: int):
+    """_merge_prep with a parameterized tile width."""
+    na = keys_a.shape[0]
+    apad = (-na) % tile + tile  # extra sentinel tile swallows B's tail
+    ka = jnp.concatenate(
+        [keys_a, jnp.full((apad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    nb = keys_b.shape[0]
+    bpad = (-nb) % tile if nb else tile  # at least one B chunk
+    kb = jnp.concatenate(
+        [keys_b, jnp.full((bpad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    tile_max = ka[tile - 1::tile]
+    b_hi = jnp.searchsorted(kb, tile_max, side="right").astype(jnp.int32)
+    b_lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), b_hi[:-1]])
+    nbt = kb.shape[0] // tile
+    first = jnp.minimum(b_lo // tile, max(nbt - 1, 0)).astype(jnp.int32)
+    last = jnp.clip((b_hi - 1) // tile, first, max(nbt - 1, 0)) \
+        .astype(jnp.int32)
+    nch = jnp.where(b_hi > b_lo, last - first + 1, 0).astype(jnp.int32)
+    return ka, kb, first, nch, b_lo, b_hi
+
+
+def merge_sorted_pallas2(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
+                         fw_b, bw_b):
+    """v2 streaming drop-in for ops.kmers.merge_sorted (same contract:
+    merged sorted-unique table of length len(a)+len(b), saturating u32
+    adds, SENTINEL tail, plus the real count)."""
+    p = keys_a.shape[0] + keys_b.shape[0]
+    ka, kb, first, nch, b_lo, b_hi = _merge_prep_t(keys_a, keys_b,
+                                                   MTILE)
+    dmax = _grid_depth(nch)
+    ahi, alo, apay = _merge_pack(ka, cov_a, fw_a, bw_a)
+    bhir, blor, bpayr = _merge_pack(kb, cov_b, fw_b, bw_b, reverse=True)
+    na_t = ka.shape[0] // MTILE
+    out, cnt = _merge_run2(first, nch, b_lo, b_hi, ahi, alo, apay,
+                           bhir, blor, bpayr, na_t, dmax)
     keys, cov, fw, bw, n = _merge_post(out, cnt)
     return keys[:p], cov[:p], fw[:p], bw[:p], n
 
