@@ -678,6 +678,151 @@ def probe_select_pallas(tkeys, cov, fw, bw, qkeys, qctx):
 
 
 # ---------------------------------------------------------------------------
+# Select-probe v2: in-kernel selection, 8-row output
+# ---------------------------------------------------------------------------
+# The round-3 select-probe emitted 19 value rows per query and did the
+# context selection in the XLA post stage — a [24, 4M] readback plus a
+# 16-way select loop before the restore sort.  v2 accumulates the
+# paired u16 value rows in VMEM scratch across a tile's chunk visits
+# and applies the selection IN KERNEL at the tile's last visit, so the
+# output is 8 rows (found, cov lo/hi, right lo/hi, left lo/hi, pad)
+# and the post stage goes straight to the restore sort.
+
+SROW = 8
+
+
+def _probe_kernel_sel2(base_ref, nch_ref, qhi_ref, qlo_ref, sctx_ref,
+                       thi_ref, tlo_ref, pay_ref, out_ref,
+                       qhi_s, qlo_s, acc_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((SROW, QT), jnp.float32)
+        acc_ref[:, :] = jnp.zeros((24, QT), jnp.float32)
+        qhi_s[:, :] = jnp.transpose(qhi_ref[:, :], (1, 0))
+        qlo_s[:, :] = jnp.transpose(qlo_ref[:, :], (1, 0))
+
+    @pl.when(j < nch_ref[i])
+    def _():
+        eq = ((qhi_s[:, :] == thi_ref[:, :])
+              & (qlo_s[:, :] == tlo_ref[:, :])).astype(jnp.float32)
+        pay = pay_ref[:, :]
+        p9 = pay[:9, :]
+
+        def limb(sh):
+            return (jax.lax.shift_right_logical(
+                p9, jnp.full_like(p9, sh)) & 0xFF).astype(jnp.float32)
+
+        limbs = jnp.concatenate(
+            [limb(0), limb(8), limb(16), limb(24),
+             pay[15:16, :].astype(jnp.float32)], axis=0)  # [37, TT]
+        res = jax.lax.dot_general(limbs, eq, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        rows = jnp.concatenate(
+            [res[0:9] + 256.0 * res[9:18],
+             res[18:27] + 256.0 * res[27:36],
+             res[36:37],
+             jnp.zeros((24 - 19, QT), jnp.float32)], axis=0)
+        acc_ref[:, :] += rows
+
+    @pl.when((j == nch_ref[i] - 1) & (nch_ref[i] > 0))
+    def _():
+        acc = acc_ref[:, :]
+        ctx = sctx_ref[:, :]
+        row_r = ctx & 0xF
+        row_l = jax.lax.shift_right_logical(
+            ctx, jnp.full_like(ctx, 4)) & 0xF
+        z = jnp.zeros((1, QT), jnp.float32)
+        r_lo = z
+        r_hi = z
+        l_lo = z
+        l_hi = z
+        for c in range(1, 9):
+            r_lo = r_lo + jnp.where(row_r == c, acc[c:c + 1], 0.0)
+            r_hi = r_hi + jnp.where(row_r == c, acc[9 + c:10 + c], 0.0)
+            l_lo = l_lo + jnp.where(row_l == c, acc[c:c + 1], 0.0)
+            l_hi = l_hi + jnp.where(row_l == c, acc[9 + c:10 + c], 0.0)
+        out_ref[:, :] = jnp.concatenate(
+            [acc[18:19], acc[0:1], acc[9:10], r_lo, r_hi, l_lo, l_hi,
+             jnp.zeros((SROW - 7, QT), jnp.float32)], axis=0)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _probe_run_sel2(qhi, qlo, sctx, thi, tlo, pay, nq_tiles: int,
+                    dmax: int, base=None, nch=None):
+    with jax.enable_x64(False):
+        return _probe_run_sel2_x32(qhi, qlo, sctx, thi, tlo, pay,
+                                   nq_tiles, dmax, base, nch)
+
+
+def _probe_run_sel2_x32(qhi, qlo, sctx, thi, tlo, pay, nq_tiles, dmax,
+                        base, nch):
+    tchunks = thi.shape[1] // TT
+    qhi = qhi.reshape(1, -1)
+    qlo = qlo.reshape(1, -1)
+    sctx = sctx.reshape(1, -1)
+
+    def qmap(i, j, b, n):
+        del j, b, n
+        return (0, i)
+
+    def tmap(i, j, b, n):
+        c = b[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
+        return (0, jnp.minimum(c, tchunks - 1))
+
+    def omap(i, j, b, n):
+        del j, b, n
+        return (0, i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq_tiles, dmax),
+        in_specs=[
+            pl.BlockSpec((1, QT), qmap),
+            pl.BlockSpec((1, QT), qmap),
+            pl.BlockSpec((1, QT), qmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((1, TT), tmap),
+            pl.BlockSpec((PCOL, TT), tmap),
+        ],
+        out_specs=pl.BlockSpec((SROW, QT), omap),
+        scratch_shapes=[
+            pltpu.VMEM((QT, 1), jnp.int32),
+            pltpu.VMEM((QT, 1), jnp.int32),
+            pltpu.VMEM((24, QT), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _probe_kernel_sel2,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((SROW, nq_tiles * QT),
+                                       jnp.float32),
+        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
+    )(base, nch, qhi, qlo, sctx, thi, tlo, pay)
+
+
+@jax.jit
+def _probe_post_sel2(out, sidx):
+    """Restore query order from the 8-row pre-selected kernel output
+    with one keyed sort (the select loop already ran in kernel)."""
+    u = out.astype(jnp.uint32)  # [SROW, qpad]
+    found = u[0] > 0
+    cov = u[1] | (u[2] << jnp.uint32(16))
+    right = u[3] | (u[4] << jnp.uint32(16))
+    left = u[5] | (u[6] << jnp.uint32(16))
+    key = (sidx << jnp.uint32(1)) | found.astype(jnp.uint32)
+    p0 = cov.astype(jnp.uint64) \
+        | (right.astype(jnp.uint64) << jnp.uint64(32))
+    sk, sp0, sp1 = jax.lax.sort((key, p0, left), num_keys=1)
+    found = (sk & jnp.uint32(1)).astype(bool)
+    cov = (sp0 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    right = (sp0 >> jnp.uint64(32)).astype(jnp.uint32)
+    return found, cov, right, sp1
+
+
+# ---------------------------------------------------------------------------
 # QV-probe: the sums-only validate fast path
 # ---------------------------------------------------------------------------
 # Plain `kreeq validate` (no track output) consumes ONLY the two QV

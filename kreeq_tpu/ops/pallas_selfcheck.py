@@ -19,12 +19,12 @@ import os
 
 import numpy as np
 
-KERNELS = ("count", "probe", "qv", "merge")
+KERNELS = ("count", "probe", "select", "qv", "merge", "merge2")
 
 
 def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
                       force: bool = False) -> dict:
-    """Per-kernel exactness verdicts {count, probe, merge} -> bool.
+    """Per-kernel exactness verdicts (KERNELS) -> bool.
 
     `force` bypasses the CPU-platform guard (tests run the kernels in
     interpret mode on CPU; production auto mode never does).
@@ -91,22 +91,48 @@ def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
         pass
 
     try:
+        # the track path: in-kernel-select probe + keyed-sort restore
+        from .validate import validate_positions_pallas
+
+        vgot = validate_positions_pallas(ref[0], ref[1], ref[2], ref[3],
+                                         qcodes, k, 0)
+        verdict["select"] = all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(vref, vgot))
+    except Exception:  # noqa: BLE001
+        pass
+
+    try:
         half = nr // 2
         A = tuple(r[:half] for r in ref[:4])
-        B = tuple(r[half:nr] for r in ref[:4])
+        # overlap half of A's keys so the dedup/saturation paths run
+        B = tuple(np.concatenate([np.asarray(r[:half // 2]),
+                                  np.asarray(r[half:nr - half // 2])])
+                  for r in ref[:4])
+        B = tuple(jnp.asarray(b) for b in B)
         mref = merge_sorted(*A, *B)
-        mgot = merge_sorted_pallas(*A, *B)
         mn = int(mref[4])
-        verdict["merge"] = mn == int(mgot[4]) and all(
-            np.array_equal(np.asarray(a)[:mn], np.asarray(b)[:mn])
-            for a, b in zip(mref[:4], mgot[:4]))
+
+        def mcheck(fn):
+            mgot = fn(*A, *B)
+            return mn == int(mgot[4]) and all(
+                np.array_equal(np.asarray(a)[:mn], np.asarray(b)[:mn])
+                for a, b in zip(mref[:4], mgot[:4]))
+
+        verdict["merge"] = mcheck(merge_sorted_pallas)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        from .pallas_kernels import merge_sorted_pallas2
+
+        verdict["merge2"] = mcheck(merge_sorted_pallas2)
     except Exception:  # noqa: BLE001
         pass
     return verdict
 
 
 def selfcheck(n: int = 1 << 16, k: int = 31, force: bool = False) -> bool:
-    """True iff ALL three Pallas kernels run and exact-match XLA."""
+    """True iff ALL gated Pallas kernels run and exact-match XLA."""
     return all(selfcheck_kernels(n, k, force).values())
 
 

@@ -196,6 +196,21 @@ def _post_sel_fused(out, sidx, sctx, isfw, valid, k: int, cutoff: int,
                          isfw=isfw, valid=valid)
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _post_sel_fused2(out, sidx, isfw, valid, k: int, cutoff: int,
+                     codes=None):
+    """ONE dispatch over the 8-row pre-selected kernel output:
+    keyed-sort restore + QV classification (the column select already
+    ran in kernel)."""
+    from .pallas_kernels import _probe_post_sel2
+
+    p = codes.shape[0] - k + 1
+    found, cov, right, left = (a[:p] for a in
+                               _probe_post_sel2(out, sidx))
+    return _classify_sel(codes, (found, cov, right, left), k, cutoff,
+                         isfw=isfw, valid=valid)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _extract_ctx_qv(codes, k: int):
     """_extract_ctx with the QV encoding: a row selector of 0 means
@@ -302,7 +317,7 @@ def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
     dmax = PK._grid_depth(nch)
     thi, tlo, pay = PK._cached_pack_table(tkeys, tcov, tfw, tbw)
     nq_tiles = qhi.shape[0] // PK.QT
-    out = PK._probe_run(qhi, qlo, thi, tlo, pay, nq_tiles, dmax,
-                        base=base, nch=nch)
-    return _post_sel_fused(out, sidx, sctx, isfw, valid, k, cutoff,
-                           codes=codes)
+    out = PK._probe_run_sel2(qhi, qlo, sctx, thi, tlo, pay, nq_tiles,
+                             dmax, base=base, nch=nch)
+    return _post_sel_fused2(out, sidx, isfw, valid, k, cutoff,
+                            codes=codes)

@@ -36,7 +36,12 @@ def _fingerprint() -> str:
     which this environment can swap under an unchanged jax version —
     exactly the skew KNOWN_GAPS.md documents — so the cached verdict
     must key on all of them.  platform_version comes from the PJRT
-    client (for libtpu it embeds the build identifier)."""
+    client (for libtpu it embeds the build identifier).  The KERNEL
+    SOURCE hash is included too: an edited kernel must re-earn its
+    on-device verdict (interpret-mode exactness does not imply real
+    Mosaic exactness — the round-2 precision bug)."""
+    import hashlib
+
     import jax
 
     try:
@@ -49,8 +54,15 @@ def _fingerprint() -> str:
         plugin_v = dev.client.platform_version
     except Exception:
         plugin_v = "unknown"
+    try:
+        from ..ops import pallas_kernels
+        with open(pallas_kernels.__file__, "rb") as f:
+            ksrc = hashlib.sha256(f.read()).hexdigest()[:16]
+    except Exception:
+        ksrc = "unknown"
     return "|".join((jax.__version__, jaxlib_v, plugin_v,
-                     getattr(dev, "device_kind", ""), dev.platform))
+                     getattr(dev, "device_kind", ""), dev.platform,
+                     ksrc))
 
 
 def _auto_check() -> bool:

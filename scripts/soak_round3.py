@@ -1,10 +1,10 @@
-"""Gbp-scale soak (round 3, VERDICT item 4).
+"""Gbp-scale soak (round-3 harness; executed + recorded in round 4).
 
 Default: 1 Gbp genome, 10x coverage reads (10 Gbp), k=31 -> DB build +
 `.kreeq` write -> DB reuse for QV + `.bkwig` of a 1 Gbp assembly with
-planted variants -> `-o vcf` recall on a 10 Mbp slice (the variants
-scan pads whole segments on device, so the full-length VCF pass is
-future work — KNOWN_GAPS.md).
+planted variants -> `-o vcf` recall on a 100 Mbp slice (the variants
+scan is windowed since round 4; slice size is wall-clock policy,
+KREEQ_TPU_SOAK_VCF_SLICE overrides).
 
 The 1 Gbp table (~1e9 rows, 44 B/row) exceeds the 16 GB v5e HBM: the
 build's top tree merges run on the host (KREEQ_TPU_HOST_MERGE_ROWS
@@ -143,9 +143,11 @@ def main() -> None:
     gen_reads(workdir, genome, coverage)
     asm, planted = plant(genome, rng)
     write_fasta(f"{workdir}/asm.fasta", "chr1", asm)
-    # VCF slice: first 10 Mbp of the assembly (ends mid-variant-free
-    # zone; planted positions < 10M - 1000 are in scope)
-    slice_len = min(10_000_000, len(asm))
+    # VCF slice: first 100 Mbp of the assembly (the variants scan is
+    # windowed since round 4, so slice size is wall-clock policy, not
+    # a memory limit; ends mid-variant-free zone)
+    slice_len = min(int(os.environ.get("KREEQ_TPU_SOAK_VCF_SLICE",
+                                       100_000_000)), len(asm))
     write_fasta(f"{workdir}/asm10.fasta", "chr1", asm[:slice_len])
     del genome, asm
 
@@ -158,7 +160,7 @@ def main() -> None:
                        py + ["validate", "-d", "soak.kreeq", "-f",
                              "asm.fasta", "-o", "asm.bkwig"], workdir)
     print(qv_out[-600:], flush=True)
-    t_vcf, _ = run("-o vcf (10 Mbp slice)",
+    t_vcf, _ = run(f"-o vcf ({slice_len//1_000_000} Mbp slice)",
                    py + ["validate", "-d", "soak.kreeq", "-f",
                          "asm10.fasta", "-o", "asm10.vcf",
                          "--search-depth", "50", "--max-span", "32"],
@@ -182,7 +184,7 @@ def main() -> None:
         i = np.searchsorted(vcf_pos, ap - 40)
         if i < len(vcf_pos) and vcf_pos[i] <= ap + 40:
             found += 1
-    print(f"VCF (10 Mbp slice): {len(rows)} rows; planted recall "
+    print(f"VCF ({slice_len//1_000_000} Mbp slice): {len(rows)} rows; planted recall "
           f"(+-40bp): {found}/{total}", flush=True)
 
     sz = os.path.getsize(f"{workdir}/asm.bkwig")
@@ -192,7 +194,7 @@ def main() -> None:
     print(f"bkwig: {sz/1e9:.2f} GB; .kreeq DB: {dbsz/1e9:.2f} GB",
           flush=True)
     print(f"\nphases: build+write={t_db:.1f}s qv+bkwig={t_qv:.1f}s "
-          f"vcf10M={t_vcf:.1f}s; driver peak RSS {rss_gb():.1f} GB",
+          f"vcf_slice={t_vcf:.1f}s; driver peak RSS {rss_gb():.1f} GB",
           flush=True)
 
 
