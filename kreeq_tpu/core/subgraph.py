@@ -16,7 +16,7 @@ src/subgraph.cpp, src/kreeq.cpp:360-600):
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
+
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -27,14 +27,21 @@ from .keys import (canonical, key_to_seq, mask, next_key_bw, next_key_fw,
                    revcomp_key)
 
 
-@dataclass
 class SubNode:
-    """DBGkmer32color equivalent (reference: include/kreeq.h:126-136)."""
+    """DBGkmer32color equivalent (reference: include/kreeq.h:126-136).
 
-    fw: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
-    bw: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
-    cov: int = 0
-    color: int = 0  # 0 gray (search-found), 1 blue (DB), 2 red (asm-only)
+    A plain __slots__ class, not a dataclass: traversal creates one
+    object per discovered node (~1M/Mbp), where dataclass __init__
+    overhead is the measured bottleneck (PERFORMANCE.md round 4)."""
+
+    __slots__ = ("fw", "bw", "cov", "color")
+
+    def __init__(self, fw=None, bw=None, cov=0, color=0):
+        self.fw = [0, 0, 0, 0] if fw is None else fw
+        self.bw = [0, 0, 0, 0] if bw is None else bw
+        self.cov = cov
+        # 0 gray (search-found), 1 blue (DB), 2 red (asm-only)
+        self.color = color
 
     def fw_count(self) -> int:
         return sum(1 for v in self.fw if v)
@@ -224,11 +231,14 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
             fkeys = ckeys[hit]
             ffw = fw[hit]
             fbw = bw[hit]
-            # bulk .tolist() conversions: one C-level pass instead of
-            # a Python int() per field
-            for key, fwl, bwl, c in zip(fkeys.tolist(), ffw.tolist(),
-                                        fbw.tolist(), cov[hit].tolist()):
-                candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
+            # bulk first-wins insert: duplicate keys carry identical
+            # node values (same table row), so the C-level dict merge
+            # is exact and keeps first-seen order (existing keys keep
+            # their position; Python dicts update in place)
+            candidates.update(zip(
+                fkeys.tolist(),
+                map(SubNode, ffw.tolist(), fbw.tolist(),
+                    cov[hit].tolist())))
     for key, node in candidates.items():
         sub.setdefault(key, node)
 
@@ -300,9 +310,9 @@ def _traversal_device(dbg, sub, candidates, sub_sorted, fkeys, ffw,
         hfw = np.asarray(fw_d)[:ckeys.size][hit]
         hbw = np.asarray(bw_d)[:ckeys.size][hit]
         hcov = np.asarray(cov_d)[:ckeys.size][hit]
-        for key, fwl, bwl, c in zip(hkeys.tolist(), hfw.tolist(),
-                                    hbw.tolist(), hcov.tolist()):
-            candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
+        candidates.update(zip(
+            hkeys.tolist(),
+            map(SubNode, hfw.tolist(), hbw.tolist(), hcov.tolist())))
 
 
 def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
@@ -369,10 +379,10 @@ def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
             hit = np.nonzero(found_r)[0]
             if hit.size == 0:
                 return
-            for key, fwl, bwl, c in zip(
-                    keys_r[hit].tolist(), fwb[hit].tolist(),
-                    bwb[hit].tolist(), cov_r[hit].tolist()):
-                candidates.setdefault(key, SubNode(fwl, bwl, c, 0))
+            candidates.update(zip(
+                keys_r[hit].tolist(),
+                map(SubNode, fwb[hit].tolist(), bwb[hit].tolist(),
+                    cov_r[hit].tolist())))
         if not retry:
             return
 

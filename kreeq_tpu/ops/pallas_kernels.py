@@ -1050,42 +1050,27 @@ def _select_xla(found, cov, fw, bw, qctx):
 
 
 # ---------------------------------------------------------------------------
-# Streaming union/merge kernel
+# Streaming union/merge: shared pack/post helpers
 # ---------------------------------------------------------------------------
-# merge_sorted (ops/kmers.py) — the engine behind `kreeq union` and
-# from_reads' tree merges — pays one (na+nb)-element 2-key sort plus a
-# second compaction flag-sort per merge.  This kernel replaces both
-# with ONE streaming pass: a boundary searchsorted assigns each
-# 256-row A tile its half-open span of B rows; the grid walks
-# (A tile, B chunk) visits where a 512-wide bitonic merge network
-# (rolls + lexicographic (hi,lo) compare-exchange) merges the carried
-# working tile with the chunk, duplicate keys are saturating-added and
-# sentinel-marked, and live entries stream out through the count
-# kernel's 128-aligned flush machinery.  B is fed lane-REVERSED from
-# XLA (concat[asc W, desc B] forms the bitonic input; Mosaic has no
-# lax.rev).
-#
-# Safety of emitting the lower half at every visit: the lower 256 of
-# merge(W, Bc) are <= Bc's max, and every future B row is strictly
-# greater (B is sorted unique), while remaining W rows form the upper
-# half — so emitted output is globally ordered, and an A/B duplicate
-# pair always meets inside one merged 512 (an emitted key can only
-# equal a future B row if it equals Bc's max, which uniqueness
-# forbids).
+# The merge kernel itself lives below ("Streaming union/merge kernel
+# v2"); these helpers pack tables into its lane-major layout and
+# decode its u16-limb output rows.
 
 MROW = 24  # output rows: 4 key u16 limbs + 18 payload limbs + pad
 
 
 def _grid_depth(nch) -> int:
-    """Host readback of max(nch) for the static grid depth.  Small
-    values (the common case: sorted queries span 2-4 chunks per tile)
-    are used exactly — each wasted depth step costs real pipeline
-    orchestration — and only large outliers bucket to powers of two to
-    bound recompilation."""
+    """Host readback of max(nch) for a static grid depth (the probe
+    kernels' wrapper; the merge kernel uses a visit-list grid and
+    needs no readback).  Small values are used exactly — each wasted
+    depth step costs real pipeline orchestration — and only large
+    outliers bucket to powers of two to bound recompilation."""
     d = max(int(jnp.max(nch)), 1) if nch.shape[0] else 1
     if d <= 8:
         return d
     return 1 << int(np.ceil(np.log2(d)))
+
+
 _BIAS = -(1 << 31)  # signed<->unsigned order bias for key halves
 _SENT_BIASED = (1 << 31) - 1  # 0xFFFFFFFF after the bias (u32^0x80000000)
 
@@ -1093,318 +1078,6 @@ _SENT_BIASED = (1 << 31) - 1  # 0xFFFFFFFF after the bias (u32^0x80000000)
 def _key_lt(ahi, alo, bhi, blo):
     """Lexicographic compare of biased (hi, lo) key halves."""
     return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
-
-
-def _limbs4(khi, klo):
-    """Biased i32 key halves [1, W] -> 4 unbiased u16 limb rows f32."""
-    ulo = klo - _BIAS
-    uhi = khi - _BIAS
-    return jnp.concatenate(
-        [(ulo & 0xFFFF).astype(jnp.float32),
-         (jax.lax.shift_right_logical(ulo, jnp.full_like(ulo, 16))
-          & 0xFFFF).astype(jnp.float32),
-         (uhi & 0xFFFF).astype(jnp.float32),
-         (jax.lax.shift_right_logical(uhi, jnp.full_like(uhi, 16))
-          & 0xFFFF).astype(jnp.float32)], axis=0)
-
-
-def _keys_from_limbs(rows):
-    """First 4 limb rows f32 [4, W] -> biased i32 (hi, lo) [1, W]."""
-    l0 = rows[0:1].astype(jnp.int32)
-    l1 = rows[1:2].astype(jnp.int32)
-    l2 = rows[2:3].astype(jnp.int32)
-    l3 = rows[3:4].astype(jnp.int32)
-    klo = (l0 | (l1 << 16)) + _BIAS
-    khi = (l2 | (l3 << 16)) + _BIAS
-    return khi, klo
-
-
-def _compact(rows, sel, width):
-    """MXU stream compaction of [R, width] f32 rows by the [1, width]
-    bool mask `sel`; returns (compacted [R, width], count i32)."""
-    selr = sel.astype(jnp.float32)
-    r = jax.lax.broadcasted_iota(jnp.int32, (width, width), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (width, width), 1)
-    upper = (r <= c).astype(jnp.float32)
-    rank = jax.lax.dot_general(selr, upper, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    onehot = ((rank.astype(jnp.int32)[0, :][None, :] - 1 == r)
-              & sel[0, :][None, :]).astype(jnp.float32)
-    comp = jax.lax.dot_general(rows * selr, onehot,
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=_EXACT)
-    return comp, jnp.sum(selr).astype(jnp.int32)
-
-
-def _merge_kernel(first_ref, nch_ref, blo_ref, bhi_ref,
-                  ahi_ref, alo_ref, apay_ref,
-                  bhi_rev_ref, blo_rev_ref, bpay_rev_ref,
-                  out_ref, cnt_ref,
-                  w_ref, carry_ref, flush_ref, sem_ref):
-    """Scratch: w VMEM [22, TILE] f32 working tile (4 key u16 limbs +
-    18 payload limbs; empty slots read as SENTINEL limbs); carry SMEM
-    i32[2] (out_off, tail_len); flush VMEM [MROW, 2*TILE+128]."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dmax = pl.num_programs(1) - 1
-    n2 = 2 * TILE
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        carry_ref[0] = 0
-        carry_ref[1] = 0
-
-    @pl.when(j == 0)
-    def _():
-        # load the A tile into W
-        khi = ahi_ref[0, :][None, :] + _BIAS
-        klo = alo_ref[0, :][None, :] + _BIAS
-        ap = apay_ref[:, :]
-        limbs = jnp.concatenate(
-            [(ap[:9] & 0xFFFF).astype(jnp.float32),
-             (jax.lax.shift_right_logical(
-                 ap[:9], jnp.full_like(ap[:9], 16)) & 0xFFFF
-              ).astype(jnp.float32)], axis=0)
-        w_ref[:, :] = jnp.concatenate([_limbs4(khi, klo), limbs], axis=0)
-
-    def flush(rows, live):
-        """Compact live lanes of [22, n2] f32 and stream to HBM."""
-        comp, ntile = _compact(
-            jnp.concatenate(
-                [rows, jnp.zeros((MROW - 22, n2), jnp.float32)], axis=0),
-            live, n2)
-        out_off = carry_ref[0]
-        tail_len = carry_ref[1]
-        win = n2 + 128
-        comp_pad = jnp.pad(comp, ((0, 0), (0, 128)))
-        shifted = pltpu.roll(comp_pad, tail_len, axis=1)
-        li = jax.lax.broadcasted_iota(jnp.int32, (MROW, win), 1)
-        merged = jnp.where(li < tail_len, flush_ref[:, :], shifted)
-        total = tail_len + ntile
-        c128 = jnp.int32(128)
-        nflush = (total // c128) * c128
-        flush_ref[:, :] = merged
-        copy = pltpu.make_async_copy(
-            flush_ref,
-            out_ref.at[:, pl.ds(pl.multiple_of(out_off, 128), win)],
-            sem_ref)
-        copy.start()
-        copy.wait()
-        flush_ref[:, :] = pltpu.roll(
-            merged, (jnp.int32(win) - nflush) % jnp.int32(win), axis=1)
-        carry_ref[0] = out_off + nflush
-        carry_ref[1] = total - nflush
-
-    @pl.when(j < nch_ref[i])
-    def _():
-        # reversed B chunk, span rows live, others SENTINEL; rotate the
-        # (forward-prefix) masked rows from the reversed chunk's end to
-        # its front so the sequence stays descending
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-        cstart = (first_ref[i] + j) * TILE
-        g = cstart + (jnp.int32(TILE - 1) - lane)
-        inspan = (g >= blo_ref[i]) & (g < bhi_ref[i])
-        sent = jnp.int32(_SENT_BIASED)
-        bk_lo = jnp.where(inspan, blo_rev_ref[0, :] + _BIAS, sent)
-        bk_hi = jnp.where(inspan, bhi_rev_ref[0, :] + _BIAS, sent)
-        bp = bpay_rev_ref[:, :]
-        blimb = jnp.concatenate(
-            [(bp[:9] & 0xFFFF).astype(jnp.float32),
-             (jax.lax.shift_right_logical(
-                 bp[:9], jnp.full_like(bp[:9], 16)) & 0xFFFF
-              ).astype(jnp.float32)], axis=0)
-        blimb = blimb * inspan.astype(jnp.float32)
-        pre = jnp.clip(blo_ref[i] - cstart, 0, TILE)
-        bk_lo = pltpu.roll(bk_lo, pre, axis=1)
-        bk_hi = pltpu.roll(bk_hi, pre, axis=1)
-        blimb = pltpu.roll(blimb, pre, axis=1)
-
-        # the visit's emission bound: the chunk's max REAL key — W
-        # entries above it must wait for later chunks of this span
-        # (lexicographic max via two masked reductions)
-        neg = jnp.int32(_BIAS)
-        inspan_i = jnp.where(inspan, jnp.int32(1), jnp.int32(0))
-        live_b = pltpu.roll(inspan_i, pre, axis=1) > 0
-        bhix = jnp.max(jnp.where(live_b, bk_hi, neg))
-        blox = jnp.max(jnp.where(live_b & (bk_hi == bhix), bk_lo, neg))
-        is_last = j == nch_ref[i] - 1
-
-        # lane-concat at the limb-row level: both operands are offset-0
-        # (a direct ref read and fresh arithmetic).  Concatenating the
-        # derived (1, T) key halves instead trips Mosaic's
-        # "offset mismatch on non-concat dimension" (row slices carry
-        # sublane offsets that plain lane values don't).
-        brows = jnp.concatenate([_limbs4(bk_hi, bk_lo), blimb], axis=0)
-        rows_all = jnp.concatenate([w_ref[:, :], brows], axis=1)
-        khi, klo = _keys_from_limbs(rows_all[0:4, :])
-        pl18 = rows_all[4:22, :]
-        for d in [256, 128, 64, 32, 16, 8, 4, 2, 1]:
-            f_hi = pltpu.roll(khi, n2 - d, axis=1)
-            f_lo = pltpu.roll(klo, n2 - d, axis=1)
-            b_hi = pltpu.roll(khi, d, axis=1)
-            b_lo = pltpu.roll(klo, d, axis=1)
-            f_pl = pltpu.roll(pl18, n2 - d, axis=1)
-            b_pl = pltpu.roll(pl18, d, axis=1)
-            lane2 = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
-            lo_pos = (lane2 % (2 * d)) < d
-            # STRICT comparisons: an equal pair stays in place (each
-            # lane keeps its own payload — dups are added, never cloned)
-            take_f = lo_pos & _key_lt(f_hi, f_lo, khi, klo)
-            take_b = (~lo_pos) & _key_lt(khi, klo, b_hi, b_lo)
-            khi = jnp.where(take_f, f_hi, jnp.where(take_b, b_hi, khi))
-            klo = jnp.where(take_f, f_lo, jnp.where(take_b, b_lo, klo))
-            pl18 = jnp.where(take_f, f_pl,
-                             jnp.where(take_b, b_pl, pl18))
-
-        # emission split BEFORE dedup marking: sorted prefix <= bound
-        le_bound = _key_lt(khi, klo, jnp.full_like(khi, bhix),
-                           jnp.full_like(klo, blox)) \
-            | ((khi == bhix) & (klo == blox))
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1)
-        e_pos = jnp.sum(le_bound.astype(jnp.float32)).astype(jnp.int32)
-        e_pos = jnp.where(is_last, jnp.int32(n2), e_pos)
-        in_emit = pos < e_pos
-
-        # dedup adjacent equals: sum into the LATER lane, sentinel the
-        # earlier (a dup pair is never split by the bound: equal keys
-        # are either both <= bound or both above)
-        p_hi = pltpu.roll(khi, 1, axis=1)
-        p_lo = pltpu.roll(klo, 1, axis=1)
-        p_pl = pltpu.roll(pl18, 1, axis=1)
-        sent2 = jnp.int32(_SENT_BIASED)
-        eq_prev = (pos > 0) & (khi == p_hi) & (klo == p_lo) & \
-            ((khi != sent2) | (klo != sent2))
-        addm = eq_prev.astype(jnp.float32)
-        lo_sum = pl18[:9] + p_pl[:9] * addm
-        hi_sum = pl18[9:] + p_pl[9:] * addm
-        carry = (lo_sum >= 65536.0).astype(jnp.float32)
-        lo_n = lo_sum - 65536.0 * carry
-        hi_n = hi_sum + carry
-        over = hi_n >= 65536.0
-        lo_n = jnp.where(over, jnp.float32(65535), lo_n)
-        hi_n = jnp.where(over, jnp.float32(65535), hi_n)
-        pl18 = jnp.concatenate([lo_n, hi_n], axis=0)
-        eq_i = jnp.where(eq_prev, jnp.int32(1), jnp.int32(0))
-        nxt_eq = pltpu.roll(eq_i, n2 - 1, axis=1) > 0
-        khi = jnp.where(nxt_eq, sent2, khi)
-        klo = jnp.where(nxt_eq, sent2, klo)
-
-        live = (khi != sent2) | (klo != sent2)
-        rows = jnp.concatenate([_limbs4(khi, klo), pl18], axis=0)
-        flush(rows, live & in_emit)
-
-        # keep side -> W (compact, pad empty slots to SENTINEL limbs)
-        keep, kcnt = _compact(rows, live & ~in_emit, n2)
-        klane = jax.lax.broadcasted_iota(jnp.int32, (22, TILE), 1)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (22, TILE), 0)
-        dead = klane >= kcnt
-        wk = keep[:, :TILE]
-        wk = jnp.where(dead & (rowi < 4), jnp.float32(65535), wk)
-        wk = jnp.where(dead & (rowi >= 4), jnp.float32(0), wk)
-        w_ref[:, :] = wk
-
-    # tiles WITH a span already emitted everything (is_last forces
-    # e_pos = n2), so the final W flush is only needed for span-less
-    # tiles — skipping it saves a no-op compaction + DMA per tile
-    @pl.when((j == dmax) & (nch_ref[i] == 0))
-    def _():
-        sent2 = jnp.int32(_SENT_BIASED)
-        rows = jnp.concatenate(
-            [w_ref[:, :],
-             jnp.concatenate(
-                 [jnp.full((4, TILE), 65535.0, jnp.float32),
-                  jnp.zeros((18, TILE), jnp.float32)], axis=0)], axis=1)
-        # liveness from the concatenated rows (the sentinel-limb pad
-        # decodes to _SENT_BIASED, so the pad half is dead) — avoids a
-        # lane-concat of offset-mismatched mask vectors (see above)
-        khi2, klo2 = _keys_from_limbs(rows[0:4, :])
-        live2 = (khi2 != sent2) | (klo2 != sent2)
-        flush(rows, live2)
-
-    @pl.when((j == dmax) & (i == pl.num_programs(0) - 1))
-    def _():
-        cnt_ref[0, 0] = carry_ref[0] + carry_ref[1]
-
-
-@partial(jax.jit, static_argnums=(10, 11))
-def _merge_run(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr,
-               na_t: int, dmax: int):
-    with jax.enable_x64(False):
-        return _merge_run_x32(first, nch, blo, bhi, ahi, alo, apay,
-                              bhir, blor, bpayr, na_t, dmax)
-
-
-def _merge_run_x32(first, nch, blo, bhi, ahi, alo, apay, bhir, blor,
-                   bpayr, na_t, dmax):
-    nbt = bhir.shape[1] // TILE
-    cap = (na_t + nbt + 2) * TILE + 384
-
-    def amap(i, j, f, n, lo, hi):
-        del j, f, n, lo, hi
-        return (0, i)
-
-    def bmap(i, j, f, n, lo, hi):
-        del lo, hi
-        c = f[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
-        c = jnp.clip(c, 0, nbt - 1)
-        return (0, nbt - 1 - c)  # reversed array chunk
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(na_t, dmax + 1),
-        in_specs=[
-            pl.BlockSpec((1, TILE), amap),
-            pl.BlockSpec((1, TILE), amap),
-            pl.BlockSpec((PCOL, TILE), amap),
-            pl.BlockSpec((1, TILE), bmap),
-            pl.BlockSpec((1, TILE), bmap),
-            pl.BlockSpec((PCOL, TILE), bmap),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((22, TILE), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((MROW, 2 * TILE + 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out, cnt = pl.pallas_call(
-        _merge_kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((MROW, cap), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
-    )(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr)
-    return out, cnt
-
-
-@jax.jit
-def _merge_prep(keys_a, keys_b):
-    """Per-A-tile B spans (device); wrapper reads back max(nch)."""
-    na = keys_a.shape[0]
-    apad = (-na) % TILE + TILE  # extra sentinel tile swallows B's tail
-    ka = jnp.concatenate(
-        [keys_a, jnp.full((apad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
-    nb = keys_b.shape[0]
-    bpad = (-nb) % TILE if nb else TILE  # at least one B chunk
-    kb = jnp.concatenate(
-        [keys_b, jnp.full((bpad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
-    tile_max = ka[TILE - 1::TILE]
-    b_hi = jnp.searchsorted(kb, tile_max, side="right").astype(jnp.int32)
-    b_lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), b_hi[:-1]])
-    nbt = kb.shape[0] // TILE
-    first = jnp.minimum(b_lo // TILE, max(nbt - 1, 0)).astype(jnp.int32)
-    last = jnp.clip((b_hi - 1) // TILE, first, max(nbt - 1, 0)) \
-        .astype(jnp.int32)
-    nch = jnp.where(b_hi > b_lo, last - first + 1, 0).astype(jnp.int32)
-    return ka, kb, first, nch, b_lo, b_hi
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -1446,24 +1119,6 @@ def _merge_post(out, cnt):
     vals = jnp.where(live[:, None], lo | (hi << jnp.uint32(16)), 0)
     return keys, vals[:, 0], vals[:, 1:5], vals[:, 5:9], n
 
-
-def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
-                        bw_b):
-    """Streaming drop-in for ops.kmers.merge_sorted (same contract:
-    merged sorted-unique table of length len(a)+len(b), saturating u32
-    adds, SENTINEL tail, plus the real count)."""
-    p = keys_a.shape[0] + keys_b.shape[0]
-    ka, kb, first, nch, b_lo, b_hi = _merge_prep(keys_a, keys_b)
-    dmax = _grid_depth(nch)
-    ahi, alo, apay = _merge_pack(ka, cov_a, fw_a, bw_a)
-    bhir, blor, bpayr = _merge_pack(kb, cov_b, fw_b, bw_b, reverse=True)
-    na_t = ka.shape[0] // TILE
-    out, cnt = _merge_run(first, nch, b_lo, b_hi, ahi, alo, apay,
-                          bhir, blor, bpayr, na_t, dmax)
-    keys, cov, fw, bw, n = _merge_post(out, cnt)
-    return keys[:p], cov[:p], fw[:p], bw[:p], n
-
-
 # ---------------------------------------------------------------------------
 # Streaming union/merge kernel v2
 # ---------------------------------------------------------------------------
@@ -1493,6 +1148,11 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b, fw_b,
 # Tile width is a tuning knob (KREEQ_TPU_MERGE_TILE, default 512).
 
 MTILE = int(os.environ.get("KREEQ_TPU_MERGE_TILE", "512"))
+# profiling knob (trace-time): letters disable kernel pieces to
+# localize per-step cost on-chip — b=bitonic, f=flush compact+DMA,
+# k=keep rebuild, m=onehot matmul, d=dedup.  Results are WRONG with
+# any letter set; never set outside scripts/bench_merge_r4.py.
+_MDBG = os.environ.get("KREEQ_TPU_MERGE_DEBUG", "")
 
 
 def _satadd_u32(a, b, add_mask):
@@ -1550,22 +1210,27 @@ def _rank_roll(live_f, width):
     return s  # [1, width] i32 inclusive ranks
 
 
-def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
+def _merge_kernel2(tv_ref, jv_ref, first_ref, nch_ref, blo_ref, bhi_ref,
                    ahi_ref, alo_ref, apay_ref,
                    bhi_rev_ref, blo_rev_ref, bpay_rev_ref,
                    out_ref, cnt_ref,
                    w_ref, carry_ref, flush_ref, iota_ref, sem_ref):
-    """Scratch: w VMEM [11, MTILE] i32 working tile (biased khi, klo,
+    """1-D visit-list grid: step s works on A tile tv[s], span chunk
+    jv[s] (prep flattens the variable per-tile spans, so there are no
+    dead (tile, depth) grid cells and no blocking max-span readback;
+    pad steps carry jv = 2^30 and are fully predicated off).
+
+    Scratch: w VMEM [11, MTILE] i32 working tile (biased khi, klo,
     9 packed payload rows; empty slots read biased-SENTINEL keys);
     carry SMEM i32[2] (out_off, tail_len); flush VMEM
     [MROW, 2*MTILE+128] f32; iota VMEM [n2, n2] i32 row indices."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dmax = pl.num_programs(1) - 1
+    s = pl.program_id(0)
+    i = tv_ref[s]
+    j = jv_ref[s]
     n2 = 2 * MTILE
     sent = jnp.int32(_SENT_BIASED)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(s == 0)
     def _():
         carry_ref[0] = 0
         carry_ref[1] = 0
@@ -1584,16 +1249,24 @@ def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
         overlap window."""
         width = rows11.shape[1]
         live_f = live.astype(jnp.float32)
-        rank = _rank_roll(live_f, width)
-        onehot = ((jnp.broadcast_to(rank - 1, (width, width))
-                   == iota_ref[:width, :width])
-                  & live[0, :][None, :]).astype(jnp.float32)
-        limbs = _limbs_u8(rows11, width) * live_f
-        comp = jax.lax.dot_general(limbs, onehot,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        rows = _pair_u16(comp)
         ntile = jnp.sum(live_f).astype(jnp.int32)
+        if "f" in _MDBG:
+            carry_ref[0] = carry_ref[0] + (ntile // 128) * 128
+            carry_ref[1] = ntile % 128
+            return
+        rank = _rank_roll(live_f, width)
+        limbs = _limbs_u8(rows11, width) * live_f
+        if "m" in _MDBG:
+            comp = limbs + jnp.broadcast_to(
+                rank.astype(jnp.float32), limbs.shape)
+        else:
+            onehot = ((jnp.broadcast_to(rank - 1, (width, width))
+                       == iota_ref[:width, :width])
+                      & live[0, :][None, :]).astype(jnp.float32)
+            comp = jax.lax.dot_general(limbs, onehot,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        rows = _pair_u16(comp)
 
         out_off = carry_ref[0]
         tail_len = carry_ref[1]
@@ -1648,7 +1321,7 @@ def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
         khi = rows[0:1]
         klo = rows[1:2]
         pay = rows[2:11]
-        d = MTILE
+        d = 0 if "b" in _MDBG else MTILE
         while d >= 1:
             f_hi = pltpu.roll(khi, n2 - d, axis=1)
             f_lo = pltpu.roll(klo, n2 - d, axis=1)
@@ -1678,16 +1351,18 @@ def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
 
         # dedup adjacent equals: saturating-add into the LATER lane,
         # sentinel the earlier (dup pairs never straddle the bound)
-        p_hi = pltpu.roll(khi, 1, axis=1)
-        p_lo = pltpu.roll(klo, 1, axis=1)
-        p_pl = pltpu.roll(pay, 1, axis=1)
-        eq_prev = (pos > 0) & (khi == p_hi) & (klo == p_lo) & \
-            ((khi != sent) | (klo != sent))
-        pay = _satadd_u32(pay, p_pl, jnp.broadcast_to(eq_prev, (9, n2)))
-        eq_i = jnp.where(eq_prev, jnp.int32(1), jnp.int32(0))
-        nxt_eq = pltpu.roll(eq_i, n2 - 1, axis=1) > 0
-        khi = jnp.where(nxt_eq, sent, khi)
-        klo = jnp.where(nxt_eq, sent, klo)
+        if "d" not in _MDBG:
+            p_hi = pltpu.roll(khi, 1, axis=1)
+            p_lo = pltpu.roll(klo, 1, axis=1)
+            p_pl = pltpu.roll(pay, 1, axis=1)
+            eq_prev = (pos > 0) & (khi == p_hi) & (klo == p_lo) & \
+                ((khi != sent) | (klo != sent))
+            pay = _satadd_u32(pay, p_pl,
+                              jnp.broadcast_to(eq_prev, (9, n2)))
+            eq_i = jnp.where(eq_prev, jnp.int32(1), jnp.int32(0))
+            nxt_eq = pltpu.roll(eq_i, n2 - 1, axis=1) > 0
+            khi = jnp.where(nxt_eq, sent, khi)
+            klo = jnp.where(nxt_eq, sent, klo)
 
         live = (khi != sent) | (klo != sent)
         rows11 = jnp.concatenate([khi, klo, pay], axis=0)
@@ -1695,18 +1370,23 @@ def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
 
         # keep side: [e_pos:) is live W survivors then sentinels only —
         # rebuild W with one dynamic roll + tail mask, no compaction
-        kroll = pltpu.roll(rows11, (jnp.int32(n2) - e_pos)
-                           % jnp.int32(n2), axis=1)
-        wlane = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
-        dead = wlane >= (jnp.int32(n2) - e_pos)
-        wk = kroll[:, :MTILE]
-        w_ref[0:1, :] = jnp.where(dead, sent, wk[0:1])
-        w_ref[1:2, :] = jnp.where(dead, sent, wk[1:2])
-        w_ref[2:11, :] = jnp.where(jnp.broadcast_to(dead, (9, MTILE)),
-                                   0, wk[2:11])
+        if "k" in _MDBG:
+            w_ref[0:1, :] = jnp.full((1, MTILE), sent, jnp.int32)
+            w_ref[1:2, :] = jnp.full((1, MTILE), sent, jnp.int32)
+        else:
+            kroll = pltpu.roll(rows11, (jnp.int32(n2) - e_pos)
+                               % jnp.int32(n2), axis=1)
+            wlane = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
+            dead = wlane >= (jnp.int32(n2) - e_pos)
+            wk = kroll[:, :MTILE]
+            w_ref[0:1, :] = jnp.where(dead, sent, wk[0:1])
+            w_ref[1:2, :] = jnp.where(dead, sent, wk[1:2])
+            w_ref[2:11, :] = jnp.where(
+                jnp.broadcast_to(dead, (9, MTILE)), 0, wk[2:11])
 
-    # span-less tiles still hold their A rows: flush W once at the end
-    @pl.when((j == dmax) & (nch_ref[i] == 0))
+    # span-less tiles still hold their A rows: flush W on their one
+    # visit (prep gives every tile at least one)
+    @pl.when((j == 0) & (nch_ref[i] == 0))
     def _():
         rows11 = jnp.concatenate(
             [w_ref[:, :],
@@ -1716,38 +1396,40 @@ def _merge_kernel2(first_ref, nch_ref, blo_ref, bhi_ref,
         live = (rows11[0:1] != sent) | (rows11[1:2] != sent)
         flush(rows11, live)
 
-    @pl.when((j == dmax) & (i == pl.num_programs(0) - 1))
+    @pl.when(s == pl.num_programs(0) - 1)
     def _():
         cnt_ref[0, 0] = carry_ref[0] + carry_ref[1]
 
 
-@partial(jax.jit, static_argnums=(10, 11))
-def _merge_run2(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr,
-                na_t: int, dmax: int):
+@partial(jax.jit, static_argnums=(12,))
+def _merge_run2(tv, jv, first, nch, blo, bhi, ahi, alo, apay, bhir,
+                blor, bpayr, na_t: int):
     with jax.enable_x64(False):
-        return _merge_run2_x32(first, nch, blo, bhi, ahi, alo, apay,
-                               bhir, blor, bpayr, na_t, dmax)
+        return _merge_run2_x32(tv, jv, first, nch, blo, bhi, ahi, alo,
+                               apay, bhir, blor, bpayr, na_t)
 
 
-def _merge_run2_x32(first, nch, blo, bhi, ahi, alo, apay, bhir, blor,
-                    bpayr, na_t, dmax):
+def _merge_run2_x32(tv, jv, first, nch, blo, bhi, ahi, alo, apay, bhir,
+                    blor, bpayr, na_t):
     nbt = bhir.shape[1] // MTILE
     n2 = 2 * MTILE
     cap = (na_t + nbt + 2) * MTILE + n2 + 384
+    nsteps = tv.shape[0]
 
-    def amap(i, j, f, n, lo, hi):
-        del j, f, n, lo, hi
-        return (0, i)
+    def amap(s, tv, jv, f, n, lo, hi):
+        del jv, f, n, lo, hi
+        return (0, tv[s])
 
-    def bmap(i, j, f, n, lo, hi):
+    def bmap(s, tv, jv, f, n, lo, hi):
         del lo, hi
-        c = f[i] + jnp.minimum(j, jnp.maximum(n[i] - 1, 0))
+        i = tv[s]
+        c = f[i] + jnp.minimum(jv[s], jnp.maximum(n[i] - 1, 0))
         c = jnp.clip(c, 0, nbt - 1)
         return (0, nbt - 1 - c)  # reversed array chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(na_t, dmax + 1),
+        num_scalar_prefetch=6,
+        grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, MTILE), amap),
             pl.BlockSpec((1, MTILE), amap),
@@ -1777,13 +1459,21 @@ def _merge_run2_x32(first, nch, blo, bhi, ahi, alo, apay, bhir, blor,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=os.environ.get("KREEQ_TPU_PALLAS_INTERPRET") == "1",
-    )(first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr)
+    )(tv, jv, first, nch, blo, bhi, ahi, alo, apay, bhir, blor, bpayr)
     return out, cnt
 
 
 @partial(jax.jit, static_argnums=(2,))
 def _merge_prep_t(keys_a, keys_b, tile: int):
-    """_merge_prep with a parameterized tile width."""
+    """_merge_prep with a parameterized tile width.
+
+    B spans are clamped to B's REAL rows: production tables carry
+    SENTINEL tails (pow2 bucket padding), and a run of equal sentinel
+    keys all lands in ONE A-tile's span — a 3M-row sentinel tail made
+    dmax ~8192 and exploded the grid to ~1M mostly-predicated-off
+    steps (the round-3 kernel's entire on-chip loss, ~2 s per 8M-row
+    merge, was this).  Sentinel B rows contribute nothing to the
+    output (merge_sorted drops them), so the clamp is exact."""
     na = keys_a.shape[0]
     apad = (-na) % tile + tile  # extra sentinel tile swallows B's tail
     ka = jnp.concatenate(
@@ -1792,31 +1482,56 @@ def _merge_prep_t(keys_a, keys_b, tile: int):
     bpad = (-nb) % tile if nb else tile  # at least one B chunk
     kb = jnp.concatenate(
         [keys_b, jnp.full((bpad,), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    nb_real = jnp.searchsorted(
+        kb, jnp.uint64(0xFFFFFFFFFFFFFFFF)).astype(jnp.int32)
     tile_max = ka[tile - 1::tile]
     b_hi = jnp.searchsorted(kb, tile_max, side="right").astype(jnp.int32)
+    b_hi = jnp.minimum(b_hi, nb_real)
     b_lo = jnp.concatenate([jnp.zeros((1,), jnp.int32), b_hi[:-1]])
     nbt = kb.shape[0] // tile
     first = jnp.minimum(b_lo // tile, max(nbt - 1, 0)).astype(jnp.int32)
     last = jnp.clip((b_hi - 1) // tile, first, max(nbt - 1, 0)) \
         .astype(jnp.int32)
     nch = jnp.where(b_hi > b_lo, last - first + 1, 0).astype(jnp.int32)
-    return ka, kb, first, nch, b_lo, b_hi
+
+    # flatten the variable per-tile spans into a 1-D visit list:
+    # visit v works (tile tv[v], span chunk jv[v]); every tile gets at
+    # least one visit (span-less tiles flush their W rows on it); pad
+    # steps carry jv = 2^30 and are fully predicated off.  The length
+    # bound is static (sum of span chunks <= nbt + na_t boundary
+    # spills, plus one visit per span-less tile), so NO max-span
+    # readback is needed and skew costs nothing.
+    na_t = ka.shape[0] // tile
+    nbt = kb.shape[0] // tile
+    cap = 2 * na_t + nbt + 1
+    visits = jnp.maximum(nch, 1)
+    ends = jnp.cumsum(visits)
+    starts = ends - visits
+    v = jnp.arange(cap, dtype=jnp.int32)
+    tv = jnp.searchsorted(ends.astype(jnp.int32), v,
+                          side="right").astype(jnp.int32)
+    pad = v >= ends[-1].astype(jnp.int32)
+    tv = jnp.clip(tv, 0, na_t - 1)
+    jv = v - starts[tv].astype(jnp.int32)
+    jv = jnp.where(pad, jnp.int32(1 << 30), jv)
+    return ka, kb, first, nch, b_lo, b_hi, tv, jv
 
 
-def merge_sorted_pallas2(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
+def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
                          fw_b, bw_b):
     """v2 streaming drop-in for ops.kmers.merge_sorted (same contract:
     merged sorted-unique table of length len(a)+len(b), saturating u32
-    adds, SENTINEL tail, plus the real count)."""
+    adds, SENTINEL tail, plus the real count).  Fully async: no
+    blocking readback anywhere (the visit-list grid replaces the
+    round-3 max-span readback)."""
     p = keys_a.shape[0] + keys_b.shape[0]
-    ka, kb, first, nch, b_lo, b_hi = _merge_prep_t(keys_a, keys_b,
-                                                   MTILE)
-    dmax = _grid_depth(nch)
+    (ka, kb, first, nch, b_lo, b_hi, tv,
+     jv) = _merge_prep_t(keys_a, keys_b, MTILE)
     ahi, alo, apay = _merge_pack(ka, cov_a, fw_a, bw_a)
     bhir, blor, bpayr = _merge_pack(kb, cov_b, fw_b, bw_b, reverse=True)
     na_t = ka.shape[0] // MTILE
-    out, cnt = _merge_run2(first, nch, b_lo, b_hi, ahi, alo, apay,
-                           bhir, blor, bpayr, na_t, dmax)
+    out, cnt = _merge_run2(tv, jv, first, nch, b_lo, b_hi, ahi, alo,
+                           apay, bhir, blor, bpayr, na_t)
     keys, cov, fw, bw, n = _merge_post(out, cnt)
     return keys[:p], cov[:p], fw[:p], bw[:p], n
 

@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 
-KERNELS = ("count", "probe", "select", "qv", "merge", "merge2")
+KERNELS = ("count", "probe", "select", "qv", "merge")
 
 
 def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
@@ -120,12 +120,6 @@ def selfcheck_kernels(n: int = 1 << 16, k: int = 31,
                 for a, b in zip(mref[:4], mgot[:4]))
 
         verdict["merge"] = mcheck(merge_sorted_pallas)
-    except Exception:  # noqa: BLE001
-        pass
-    try:
-        from .pallas_kernels import merge_sorted_pallas2
-
-        verdict["merge2"] = mcheck(merge_sorted_pallas2)
     except Exception:  # noqa: BLE001
         pass
     return verdict

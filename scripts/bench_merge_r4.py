@@ -23,8 +23,7 @@ import jax.numpy as jnp  # noqa: E402
 
 import kreeq_tpu  # noqa: F401,E402
 from kreeq_tpu.ops.kmers import merge_sorted  # noqa: E402
-from kreeq_tpu.ops.pallas_kernels import (merge_sorted_pallas,  # noqa: E402
-                                          merge_sorted_pallas2)
+from kreeq_tpu.ops.pallas_kernels import merge_sorted_pallas  # noqa: E402
 
 ITERS = 5
 
@@ -82,23 +81,15 @@ def main():
           flush=True)
 
     dt_x, out_x = time_merge(jax.jit(merge_sorted), A, B, "xla merge_sorted")
-    which = os.environ.get("KREEQ_TPU_BENCH_WHICH", "12")
-    res = {}
-    if "1" in which:
-        dt1, out1 = time_merge(merge_sorted_pallas, A, B,
-                               "pallas v1 (TILE=256)")
-        res["v1"] = dt1
-    if "2" in which:
-        from kreeq_tpu.ops.pallas_kernels import MTILE
-        dt2, out2 = time_merge(merge_sorted_pallas2, A, B,
-                               f"pallas v2 (MTILE={MTILE})")
-        res["v2"] = dt2
-        n = int(out_x[4])
-        ok = all(np.array_equal(np.asarray(x)[:n], np.asarray(y)[:n])
-                 for x, y in zip(out_x[:4], out2[:4]))
-        print(f"v2 exact vs xla (final iterate): {ok}", flush=True)
-    print({k: round(v * 1e3, 2) for k, v in res.items()},
-          f"xla={dt_x * 1e3:.2f}ms")
+    from kreeq_tpu.ops.pallas_kernels import MTILE
+    dt2, out2 = time_merge(merge_sorted_pallas, A, B,
+                           f"pallas v2 (MTILE={MTILE})")
+    n = int(out_x[4])
+    ok = all(np.array_equal(np.asarray(x)[:n], np.asarray(y)[:n])
+             for x, y in zip(out_x[:4], out2[:4]))
+    print(f"v2 exact vs xla (final iterate): {ok}", flush=True)
+    print(f"v2={dt2 * 1e3:.2f}ms xla={dt_x * 1e3:.2f}ms "
+          f"speedup={dt_x / dt2:.2f}x")
 
 
 if __name__ == "__main__":
