@@ -67,7 +67,7 @@ def main():
         {"KREEQ_TPU_COMPILE_CACHE": default_cache}, REPO)
 
     t_a, r_a = run("A cold validate (no warmup)", vcmd,
-                   {"KREEQ_TPU_COMPILE_CACHE": "/tmp/cc_before",
+                   {"KREEQ_TPU_COMPILE_CACHE": "/tmp/cc_before2",
                     "KREEQ_TPU_PALLAS": "auto"}, workdir)
     print(r_a.stdout[-500:], flush=True)
 
