@@ -1523,7 +1523,27 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
     merged sorted-unique table of length len(a)+len(b), saturating u32
     adds, SENTINEL tail, plus the real count).  Fully async: no
     blocking readback anywhere (the visit-list grid replaces the
-    round-3 max-span readback)."""
+    round-3 max-span readback).
+
+    Size guard: the visit/span arrays ride scalar prefetch, i.e. SMEM,
+    whose capacity is ~1 MB on v5e — a 16.7M+16.7M merge (level-2 of a
+    big build tree) needs ~1.3 MB of prefetch operands and fails
+    Mosaic allocation.  Above the budget
+    (KREEQ_TPU_MERGE_SMEM_BUDGET, default 700 KB, which admits the
+    8.4M+8.4M level-1 shape) the XLA merge takes over."""
+    na = keys_a.shape[0]
+    nb = keys_b.shape[0]
+    na_t = (na + (-na) % MTILE + MTILE) // MTILE
+    nbt = max((nb + ((-nb) % MTILE if nb else MTILE)) // MTILE, 1)
+    cap = 2 * na_t + nbt + 1
+    smem_bytes = (2 * cap + 4 * na_t) * 4
+    budget = int(os.environ.get("KREEQ_TPU_MERGE_SMEM_BUDGET",
+                                "700000"))
+    if smem_bytes > budget:
+        from .kmers import merge_sorted
+
+        return merge_sorted(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
+                            fw_b, bw_b)
     p = keys_a.shape[0] + keys_b.shape[0]
     (ka, kb, first, nch, b_lo, b_hi, tv,
      jv) = _merge_prep_t(keys_a, keys_b, MTILE)

@@ -140,15 +140,21 @@ def main() -> None:
     t0 = time.time()
     genome = rng.integers(0, 4, n).astype(np.uint8)
     print(f"genome: {n/1e6:.0f} Mbp in {time.time()-t0:.0f}s", flush=True)
-    gen_reads(workdir, genome, coverage)
     asm, planted = plant(genome, rng)
-    write_fasta(f"{workdir}/asm.fasta", "chr1", asm)
     # VCF slice: first 100 Mbp of the assembly (the variants scan is
     # windowed since round 4, so slice size is wall-clock policy, not
     # a memory limit; ends mid-variant-free zone)
     slice_len = min(int(os.environ.get("KREEQ_TPU_SOAK_VCF_SLICE",
                                        100_000_000)), len(asm))
-    write_fasta(f"{workdir}/asm10.fasta", "chr1", asm[:slice_len])
+    # KREEQ_TPU_SOAK_REUSE=1 skips (deterministic) input generation
+    # when the files already exist — lets generation run in parallel
+    # with other work and the CLI phases start later
+    reuse = os.environ.get("KREEQ_TPU_SOAK_REUSE") == "1" and \
+        os.path.exists(f"{workdir}/asm10.fasta")
+    if not reuse:
+        gen_reads(workdir, genome, coverage)
+        write_fasta(f"{workdir}/asm.fasta", "chr1", asm)
+        write_fasta(f"{workdir}/asm10.fasta", "chr1", asm[:slice_len])
     del genome, asm
 
     py = [sys.executable, "-m", "kreeq_tpu.cli.main"]
