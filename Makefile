@@ -1,7 +1,7 @@
 # Convenience targets (the compute path needs no build; the native C++
 # runtime auto-builds on first use — this just makes it explicit).
 
-.PHONY: all native test golden bench check clean
+.PHONY: all native test test-fast test-full golden bench check clean
 
 all: native
 
@@ -10,8 +10,16 @@ native:
 	  kreeq_tpu/native/kreeq_native.cpp \
 	  -o kreeq_tpu/native/libkreeq_native.so -lz
 
-test:
+# iteration gate (<3 min): everything not marked slow
+test-fast:
+	python3 -m pytest tests/ -q -m "not slow"
+
+# full unit suite (~8 min: includes the multi-process CLI parity and
+# 8M-keys/device sharded scale tests)
+test-full:
 	python3 -m pytest tests/ -q
+
+test: test-full
 
 golden:
 	bin/kreeq-validate /root/reference/validateFiles

@@ -112,6 +112,220 @@ def _host_merge_threshold() -> int:
     return max(KmerTable.max_device_rows() // 4, 1 << 20)
 
 
+class TreeMerger:
+    """Pairwise tree-merge of per-chunk count parts.
+
+    Extracted from from_reads (round 5) so the checkpointed builder
+    (core/build_ckpt.py) can reuse the exact device/host merge policy
+    per chunk-batch.  A part is (keys, cov, fw, bw, n) where n is the
+    distinct-row count — a device scalar with an async host copy for
+    freshly counted parts, a host int for stored ones.
+
+    Pipelining: no step of the chunk loop blocks on the device.  Every
+    part carries its distinct-count as a DEVICE scalar with an async
+    host copy started at creation; a part is trimmed to pow2(n) only
+    when it is next consumed by a merge, by which point its n has long
+    materialized on the host.  Fresh parts enter merges untrimmed, so
+    the only readbacks in the chunk loop are on counts from >= 1 chunk
+    ago.  Merges whose output would strain HBM run on the host
+    (the reference's spill-to-disk analog,
+    src/graph-builder.cpp:213-216)."""
+
+    def __init__(self):
+        self.levels = []  # at most one part per tree level
+
+    @staticmethod
+    def async_part(arrs, n):
+        try:
+            n.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (*arrs, n)
+
+    @staticmethod
+    def _trim(part):
+        """Slice a stored part down to pow2(n) SENTINEL-padded rows
+        (the n readback is host-ready for stored parts)."""
+        keys, cov, fw, bw, n = part
+        size = _pow2(int(n))
+        if size < keys.shape[0]:
+            return (keys[:size], cov[:size], fw[:size], bw[:size], n)
+        return part
+
+    def merge(self, stored, fresh):
+        from ..ops import kmers as K
+
+        ns = int(stored[4])
+        if ns + fresh[0].shape[0] > _host_merge_threshold():
+            nf = int(fresh[4])
+            a = tuple(np.asarray(x)[:ns] for x in stored[:4])
+            b = tuple(np.asarray(x)[:nf] for x in fresh[:4])
+            mk, mc, mf, mb = host_merge_sorted(*a, *b)
+            return (mk, mc, mf, mb, np.uint32(len(mk)))
+        # both operands end up power-of-two sized (the stored side
+        # by its ready n, the fresh side by shape alone — no
+        # readback) so merge shape pairs repeat across the build:
+        # every new shape pair costs a full XLA compile
+        a = _pad_part(self._trim(stored)[:4], _pow2(ns))
+        b = _pad_part(fresh[:4], _pow2(fresh[0].shape[0]))
+        mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
+        return self.async_part((mkeys, mcov, mfw, mbw), nm)
+
+    def push(self, part):
+        # retrim every stored level first: their counts are
+        # host-ready one push after creation, and untrimmed merge
+        # outputs would otherwise hold HBM at 2x-6x their content
+        # (a high-coverage level keeps ~n_genome real rows in a
+        # sum-of-chunk-sizes buffer)
+        levels = self.levels
+        for j, lv in enumerate(levels):
+            if lv is not None:
+                levels[j] = self._trim(lv)
+        i = 0
+        while True:
+            if i == len(levels):
+                levels.append(part)
+                return
+            if levels[i] is None:
+                levels[i] = part
+                return
+            part = self.merge(levels[i], part)
+            levels[i] = None
+            i += 1
+
+    def finalize(self):
+        """Reduce the remaining levels to one part (or None when no
+        part was ever pushed)."""
+        acc = None
+        for part in self.levels:
+            if part is None:
+                continue
+            # both sides are stored parts here: trim both (ready ns)
+            acc = part if acc is None else self.merge(acc,
+                                                      self._trim(part))
+        self.levels = []
+        return acc
+
+    def finalize_host(self):
+        """finalize() materialized to trimmed host arrays, or None."""
+        acc = self.finalize()
+        if acc is None:
+            return None
+        n = int(acc[4])
+        return tuple(np.asarray(a)[:n] for a in acc[:4])
+
+
+class ShardedCounter:
+    """SPMD chunk counter over a device mesh, drainable at chunk-batch
+    boundaries (extracted from _from_reads_sharded in round 5 so the
+    checkpointed builder can emit per-batch parts while reusing the
+    compiled sharded count program across batches).
+
+    add() accumulates packed 2-bit chunk buffers and dispatches a
+    sharded count per device-group; drain() reduces the per-shard
+    tree levels to ONE sorted host table and resets the levels (the
+    count program and mesh survive for the next batch)."""
+
+    def __init__(self, mesh, k: int, chunk: int):
+        from ..parallel.sharded import sharded_count_fn
+
+        self.mesh = mesh
+        self.k = k
+        self.chunk = chunk
+        self.n = mesh.devices.size
+        self.count = sharded_count_fn(mesh, k)
+        self.count_full = None  # full-size-bin fallback, on first drop
+        self.shard_levels = [[] for _ in range(self.n)]
+        self.bufs = []
+
+    def _merge(self, a, b):
+        from ..ops import kmers as K
+
+        a = _pad_part(a, _pow2(a[0].shape[0]))
+        b = _pad_part(b, _pow2(b[0].shape[0]))
+        mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
+        nm = int(nm)
+        return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
+
+    def _push(self, s, part):
+        lv = self.shard_levels[s]
+        i = 0
+        while True:
+            if i == len(lv):
+                lv.append(part)
+                return
+            if lv[i] is None:
+                lv[i] = part
+                return
+            part = self._merge(lv[i], part)
+            lv[i] = None
+            i += 1
+
+    def _flush(self):
+        import jax.numpy as jnp
+
+        bufs, n, chunk = self.bufs, self.n, self.chunk
+        if not bufs:
+            return
+        while len(bufs) < n:
+            bufs.append(np.full(len(bufs[0]), 4, np.uint8))
+        width = max(len(b) for b in bufs)
+        if width < chunk:
+            width = chunk  # keep shapes static across flushes
+        block = np.full((n, width), 4, np.uint8)
+        for i, b in enumerate(bufs):
+            block[i, :len(b)] = b
+        tkeys, tcov, tfw, tbw, nv, drop = self.count(jnp.asarray(block))
+        if int(drop[0]):
+            # capacity-factor bins overflowed (skewed keys): retry
+            # the block with full-size bins, which cannot drop
+            from ..parallel.sharded import sharded_count_fn
+            from ..utils import log
+
+            log.verbose(
+                f"sharded routing overflow ({int(drop[0])} records); "
+                "retrying block with full-size bins")
+            if self.count_full is None:
+                self.count_full = sharded_count_fn(self.mesh, self.k,
+                                                   full_bins=True)
+            tkeys, tcov, tfw, tbw, nv, drop = self.count_full(
+                jnp.asarray(block))
+            assert int(drop[0]) == 0
+        for s in range(n):
+            m = int(nv[s])
+            self._push(s, (tkeys[s, :m], tcov[s, :m], tfw[s, :m],
+                           tbw[s, :m]))
+        bufs.clear()
+
+    def add(self, buf) -> None:
+        self.bufs.append(buf)
+        if len(self.bufs) == self.n:
+            self._flush()
+
+    def drain(self):
+        """Sorted host (keys, cov, fw, bw) of everything added since
+        the last drain, or None; resets the tree levels."""
+        self._flush()
+        shard_tables = []
+        for s in range(self.n):
+            acc = None
+            for part in self.shard_levels[s]:
+                if part is None:
+                    continue
+                acc = part if acc is None else self._merge(acc, part)
+            if acc is not None:
+                shard_tables.append(tuple(np.asarray(a) for a in acc))
+        self.shard_levels = [[] for _ in range(self.n)]
+        if not shard_tables:
+            return None
+        keys = np.concatenate([t[0] for t in shard_tables])
+        cov = np.concatenate([t[1] for t in shard_tables])
+        fw = np.concatenate([t[2] for t in shard_tables])
+        bw = np.concatenate([t[3] for t in shard_tables])
+        order = np.argsort(keys, kind="stable")
+        return keys[order], cov[order], fw[order], bw[order]
+
+
 @dataclass
 class TableStats:
     total: int
@@ -176,16 +390,12 @@ class KmerTable:
         from ..ops import kmers as K
 
         if chunk is None:
-            import os
-
             chunk = int(os.environ.get("KREEQ_TPU_CHUNK", 1 << 23))
         read_files = list(read_files)
         if mesh is None and len(jax.devices()) > 1:
             # auto-shard only when the workload amortizes the SPMD
             # dispatch (tiny inputs are faster single-device);
             # KREEQ_TPU_FORCE_SHARDED=1 overrides for parity tests
-            import os
-
             try:
                 total = sum(os.path.getsize(p) for p in read_files)
             except (OSError, TypeError):
@@ -195,6 +405,14 @@ class KmerTable:
                 from ..parallel.sharded import make_mesh
 
                 mesh = make_mesh()
+        ckpt = os.environ.get("KREEQ_TPU_BUILD_CKPT")
+        if ckpt:
+            # resumable build: chunk-batch parts + merge manifest on
+            # disk, so a mid-build death resumes instead of restarting
+            from .build_ckpt import from_reads_checkpointed
+
+            return from_reads_checkpointed(read_files, k, ckpt,
+                                           chunk=chunk, mesh=mesh)
         if mesh is not None and mesh.devices.size > 1:
             return cls._from_reads_sharded(read_files, k, chunk, mesh)
 
@@ -204,198 +422,43 @@ class KmerTable:
 
         # tree-merge chunk tables: pairwise device merges of similarly
         # sized partials keep each merge O(size) instead of rescanning
-        # an ever-growing accumulator per chunk.
-        #
-        # Pipelining: no step of the chunk loop blocks on the device.
-        # Every part carries its distinct-count as a DEVICE scalar with
-        # an async host copy started at creation; a part is trimmed to
-        # pow2(n) only when it is next consumed by a merge, by which
-        # point its n has long materialized on the host (the stall the
-        # round-1 one-chunk lookahead only partially hid).  Fresh parts
-        # enter merges untrimmed, so the only readbacks in the chunk
-        # loop are on counts from >= 1 chunk ago.
-        levels = []  # levels[i] holds at most one part per tree level
-
-        def _async_part(arrs, n):
-            try:
-                n.copy_to_host_async()
-            except AttributeError:
-                pass
-            return (*arrs, n)
-
-        def _trim(part):
-            """Slice a stored part down to pow2(n) SENTINEL-padded rows
-            (the n readback is host-ready for stored parts)."""
-            keys, cov, fw, bw, n = part
-            size = _pow2(int(n))
-            if size < keys.shape[0]:
-                return (keys[:size], cov[:size], fw[:size], bw[:size], n)
-            return part
-
-        def merge(stored, fresh):
-            # merges whose output would strain HBM run on the host
-            # (bounded-RAM builds of tables far beyond device memory —
-            # the reference's spill-to-disk analog,
-            # src/graph-builder.cpp:213-216)
-            ns = int(stored[4])
-            if ns + fresh[0].shape[0] > _host_merge_threshold():
-                nf = int(fresh[4])
-                a = tuple(np.asarray(x)[:ns] for x in stored[:4])
-                b = tuple(np.asarray(x)[:nf] for x in fresh[:4])
-                mk, mc, mf, mb = host_merge_sorted(*a, *b)
-                return (mk, mc, mf, mb, np.uint32(len(mk)))
-            # both operands end up power-of-two sized (the stored side
-            # by its ready n, the fresh side by shape alone — no
-            # readback) so merge shape pairs repeat across the build:
-            # every new shape pair costs a full XLA compile
-            a = _pad_part(_trim(stored)[:4], _pow2(ns))
-            b = _pad_part(fresh[:4], _pow2(fresh[0].shape[0]))
-            mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
-            return _async_part((mkeys, mcov, mfw, mbw), nm)
-
-        def push(part):
-            # retrim every stored level first: their counts are
-            # host-ready one push after creation, and untrimmed merge
-            # outputs would otherwise hold HBM at 2x-6x their content
-            # (a high-coverage level keeps ~n_genome real rows in a
-            # sum-of-chunk-sizes buffer)
-            for j, lv in enumerate(levels):
-                if lv is not None:
-                    levels[j] = _trim(lv)
-            i = 0
-            while True:
-                if i == len(levels):
-                    levels.append(part)
-                    return
-                if levels[i] is None:
-                    levels[i] = part
-                    return
-                part = merge(levels[i], part)
-                levels[i] = None
-                i += 1
-
+        # an ever-growing accumulator per chunk (policy: TreeMerger)
         from ..utils import log
 
+        tm = TreeMerger()
         count_fn = K.get_count_sorted()
 
         for i, buf in enumerate(K.pack_reads(read_iter(), k, chunk)):
             keys, _isfw, edges, valid = K.kmer_positions(jnp.asarray(buf), k)
             ukeys, cov, fw, bw, n = count_fn(keys, edges, valid)
-            push(_async_part((ukeys, cov, fw, bw), n))
+            tm.push(tm.async_part((ukeys, cov, fw, bw), n))
             if log.verbose_flag:
                 log.verbose(f"counted chunk {i} ({int(n)} distinct)")
 
-        acc = None
-        for part in levels:
-            if part is None:
-                continue
-            # both sides are stored parts here: trim both (ready ns)
-            acc = part if acc is None else merge(acc, _trim(part))
+        acc = tm.finalize_host()
         if acc is None:
             return cls.empty(k)
-        n = int(acc[4])
-        return cls(k, *(np.asarray(a)[:n] for a in acc[:4]))
+        return cls(k, *acc)
 
     @classmethod
     def _from_reads_sharded(cls, read_files, k: int, chunk: int,
                             mesh) -> "KmerTable":
         """SPMD build: per-super-chunk sharded count + per-shard
         tree-merge, final host k-way concat (shards are disjoint)."""
-        import jax.numpy as jnp
-
         from ..io.fastx import iter_reads
         from ..ops import kmers as K
-        from ..parallel.sharded import sharded_count_fn
-
-        n = mesh.devices.size
-        count = sharded_count_fn(mesh, k)
-        count_full = None  # full-size-bin fallback, built on first drop
 
         def read_iter():
             for path in read_files:
                 yield from iter_reads(path)
 
-        def merge(a, b):
-            a = _pad_part(a, _pow2(a[0].shape[0]))
-            b = _pad_part(b, _pow2(b[0].shape[0]))
-            mkeys, mcov, mfw, mbw, nm = K.get_merge_sorted()(*a, *b)
-            nm = int(nm)
-            return (mkeys[:nm], mcov[:nm], mfw[:nm], mbw[:nm])
-
-        shard_levels = [[] for _ in range(n)]
-
-        def push(s, part):
-            lv = shard_levels[s]
-            i = 0
-            while True:
-                if i == len(lv):
-                    lv.append(part)
-                    return
-                if lv[i] is None:
-                    lv[i] = part
-                    return
-                part = merge(lv[i], part)
-                lv[i] = None
-                i += 1
-
-        bufs = []
-        chunks = K.pack_reads(read_iter(), k, chunk)
-
-        def flush():
-            if not bufs:
-                return
-            while len(bufs) < n:
-                bufs.append(np.full(len(bufs[0]), 4, np.uint8))
-            width = max(len(b) for b in bufs)
-            if width < chunk:
-                width = chunk  # keep shapes static across flushes
-            block = np.full((n, width), 4, np.uint8)
-            for i, b in enumerate(bufs):
-                block[i, :len(b)] = b
-            tkeys, tcov, tfw, tbw, nv, drop = count(jnp.asarray(block))
-            if int(drop[0]):
-                # capacity-factor bins overflowed (skewed keys): retry
-                # the block with full-size bins, which cannot drop
-                nonlocal count_full
-                from ..utils import log
-
-                log.verbose(
-                    f"sharded routing overflow ({int(drop[0])} records); "
-                    "retrying block with full-size bins")
-                if count_full is None:
-                    count_full = sharded_count_fn(mesh, k, full_bins=True)
-                tkeys, tcov, tfw, tbw, nv, drop = count_full(
-                    jnp.asarray(block))
-                assert int(drop[0]) == 0
-            for s in range(n):
-                m = int(nv[s])
-                push(s, (tkeys[s, :m], tcov[s, :m], tfw[s, :m],
-                         tbw[s, :m]))
-            bufs.clear()
-
-        for buf in chunks:
-            bufs.append(buf)
-            if len(bufs) == n:
-                flush()
-        flush()
-
-        shard_tables = []
-        for s in range(n):
-            acc = None
-            for part in shard_levels[s]:
-                if part is None:
-                    continue
-                acc = part if acc is None else merge(acc, part)
-            if acc is not None:
-                shard_tables.append(tuple(np.asarray(a) for a in acc))
-        if not shard_tables:
+        sc = ShardedCounter(mesh, k, chunk)
+        for buf in K.pack_reads(read_iter(), k, chunk):
+            sc.add(buf)
+        acc = sc.drain()
+        if acc is None:
             return cls.empty(k)
-        keys = np.concatenate([t[0] for t in shard_tables])
-        cov = np.concatenate([t[1] for t in shard_tables])
-        fw = np.concatenate([t[2] for t in shard_tables])
-        bw = np.concatenate([t[3] for t in shard_tables])
-        order = np.argsort(keys, kind="stable")
-        return cls(k, keys[order], cov[order], fw[order], bw[order])
+        return cls(k, *acc)
 
     @classmethod
     def from_entries(cls, k: int, entries: Dict[int, tuple]) -> "KmerTable":

@@ -20,8 +20,12 @@ _tried = False
 
 
 def _src_hash() -> str:
+    """Source hash + interpreter ABI tag: unlike the ctypes FFI this
+    is a CPython extension, so a stale .so built for a different
+    interpreter ABI must force a rebuild after a Python upgrade."""
+    abi = sysconfig.get_config_var("SOABI") or "unknown-abi"
     with open(_SRC, "rb") as fh:
-        return hashlib.sha256(fh.read()).hexdigest()
+        return hashlib.sha256(fh.read()).hexdigest() + "|" + abi
 
 
 def _stale() -> bool:

@@ -24,6 +24,12 @@
 #include <structmember.h>
 #include <stdint.h>
 
+/* The type holds PyObject containers but is cycle-free by
+ * construction: fw/bw are lists of ints and cov/color are ints on
+ * every path this module creates (build_nodes and the default init),
+ * so no GC support (tp_traverse) is needed.  Callers that assign a
+ * container referencing the node back into node.fw would leak — the
+ * Python SubNode call sites never do. */
 typedef struct {
     PyObject_HEAD
     PyObject *fw;     /* list[4] */
@@ -61,8 +67,11 @@ subnode_init(SubNodeObject *self, PyObject *args, PyObject *kwds)
                                           : zero_list4();
     if (!nbw) { Py_DECREF(nfw); return -1; }
     PyObject *ncov = cov ? (Py_INCREF(cov), cov) : PyLong_FromLong(0);
+    if (!ncov) { Py_DECREF(nfw); Py_DECREF(nbw); return -1; }
     PyObject *ncol = color ? (Py_INCREF(color), color)
                            : PyLong_FromLong(0);
+    if (!ncol) { Py_DECREF(nfw); Py_DECREF(nbw); Py_DECREF(ncov);
+                 return -1; }
     Py_XSETREF(self->fw, nfw);
     Py_XSETREF(self->bw, nbw);
     Py_XSETREF(self->cov, ncov);

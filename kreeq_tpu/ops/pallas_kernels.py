@@ -1151,8 +1151,16 @@ MTILE = int(os.environ.get("KREEQ_TPU_MERGE_TILE", "512"))
 # profiling knob (trace-time): letters disable kernel pieces to
 # localize per-step cost on-chip — b=bitonic, f=flush compact+DMA,
 # k=keep rebuild, m=onehot matmul, d=dedup.  Results are WRONG with
-# any letter set; never set outside scripts/bench_merge_r4.py.
+# any letter set; never set outside scripts/bench_merge_r4.py.  A
+# leaked letter must fail loudly, not silently corrupt merges: it is
+# honored only alongside the explicit bench-only opt-in (the pallas
+# auto-gate fingerprint additionally keys on these knobs, so =auto
+# cannot ride a cached OK verdict into a debug configuration).
 _MDBG = os.environ.get("KREEQ_TPU_MERGE_DEBUG", "")
+if _MDBG and os.environ.get("KREEQ_TPU_MERGE_DEBUG_OPTIN") != "1":
+    raise RuntimeError(
+        "KREEQ_TPU_MERGE_DEBUG is set (merge results would be WRONG); "
+        "set KREEQ_TPU_MERGE_DEBUG_OPTIN=1 only in bench scripts")
 
 
 def _satadd_u32(a, b, add_mask):
@@ -1559,8 +1567,11 @@ def merge_sorted_pallas(keys_a, cov_a, fw_a, bw_a, keys_b, cov_b,
 def count_sorted_split(keys, edges, valid, nsplit: int):
     """count_sorted as nsplit independent sub-sorts reduced by the
     streaming merge kernel.  (No 2^24 cap here: the XLA sub-sorts are
-    exact at any size and the merge kernel's u16-limb f32 arithmetic is
-    exact for all u32 counter values.)
+    exact at any size, and merge v2 is exact for all u32 counter
+    values — payloads ride the bitonic network as packed i32 rows,
+    dedup adds are i32 sign-bias saturating adds, and the flush
+    compaction is a u8-limb single-pass bf16 one-hot matmul, exact
+    for 0/1 one-hots times values <= 255.)
 
     XLA's TPU sort is superlinear past VMEM-friendly sizes (measured:
     2x8M-base steps = 614 ms vs 1169 ms for one 16M step), so S small

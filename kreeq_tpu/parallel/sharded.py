@@ -73,8 +73,11 @@ _OWNER_MIX = 0x9E3779B97F4A7C15
 def owner_of(keys, n: int):
     """Owner shard of each canonical key (device or numpy arrays)."""
     if isinstance(keys, np.ndarray) or np.isscalar(keys):
-        return (np.uint64(keys) * np.uint64(_OWNER_MIX)
-                >> np.uint64(40)) % np.uint64(n)
+        # the u64 wraparound IS the mix — scope the overflow warning
+        # out so real overflow bugs elsewhere stay loud
+        with np.errstate(over="ignore"):
+            return (np.uint64(keys) * np.uint64(_OWNER_MIX)
+                    >> np.uint64(40)) % np.uint64(n)
     mixed = (keys * jnp.uint64(_OWNER_MIX)) >> jnp.uint64(40)
     return (mixed % jnp.uint64(n)).astype(jnp.int32)
 

@@ -60,9 +60,17 @@ def _fingerprint() -> str:
             ksrc = hashlib.sha256(f.read()).hexdigest()[:16]
     except Exception:
         ksrc = "unknown"
+    # kernel-shaping env knobs are part of the toolchain identity: a
+    # leaked KREEQ_TPU_MERGE_DEBUG letter (documented results-are-
+    # WRONG) or a changed tile width / SMEM budget must re-earn (or
+    # fail) the on-device verdict instead of riding a cached OK
+    knobs = ",".join(
+        f"{k}={os.environ.get(k, '')}" for k in
+        ("KREEQ_TPU_MERGE_DEBUG", "KREEQ_TPU_MERGE_TILE",
+         "KREEQ_TPU_MERGE_SMEM_BUDGET"))
     return "|".join((jax.__version__, jaxlib_v, plugin_v,
                      getattr(dev, "device_kind", ""), dev.platform,
-                     ksrc))
+                     ksrc, knobs))
 
 
 def _auto_check() -> bool:

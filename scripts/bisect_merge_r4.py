@@ -19,6 +19,7 @@ def main():
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
         env["KREEQ_TPU_MERGE_DEBUG"] = dbg
+        env["KREEQ_TPU_MERGE_DEBUG_OPTIN"] = "1"  # bench-only knob
         env["KREEQ_TPU_BENCH_WHICH"] = "2"
         r = subprocess.run(
             [sys.executable, os.path.join(REPO, "scripts",
