@@ -344,71 +344,87 @@ def _traversal_device(dbg, sub, candidates, sub_sorted, fkeys, ffw,
 
 def _traversal_rounds_async(table, sub_d, fkeys_d, ffw_d, fbw_d,
                             depth: int, k: int, candidates) -> None:
-    """Dispatch ALL BFS rounds back-to-back before draining: each
-    round's next frontier depends only on device state, and the
-    per-round bookkeeping comes back as ONE packed array, so the whole
-    traversal pays ~one tunnel round trip instead of six per round
-    (~40 ms each; the per-round version measured 66 blocking readbacks
-    = 2.6 s of pure latency at 1 Mbp).  A round whose survivor count
-    overflows the static cap is re-dispatched from its saved input
-    state with a doubled cap (rare: caps grow monotonically)."""
-    from ..ops.frontier import _expand_round
+    """Fused-batch BFS rounds: round 1 runs as its own program (the
+    initial frontier's large shape), rounds 2+ run FUSED, R=4 rounds
+    per device program via lax.scan (ops/frontier._expand_rounds_scan).
+    Round 4 measured the per-round version's residual ~1.3 s/Mbp as
+    per-dispatch relay overhead over 6-8 chained programs; fusing
+    divides the dispatch count by R while the per-batch drain checks
+    convergence (dead frontier) and cap overflow.
+
+    A cap overflow restarts the whole traversal with a doubled cap
+    (rare: caps only grow); reprocessing completed rounds is
+    idempotent — the candidates dict keeps first-insertion order and
+    identical values, so results are byte-identical to the per-round
+    path (scripts/bench_subgraph.py asserts sets AND order)."""
+    from ..ops.frontier import _expand_round, _expand_rounds_scan
 
     tkeys, tcov, tfw, tbw = table.device_arrays()
     tstarts, bits, _rounds = table.bucket_index()
+    R = 4
     cap = 1 << 14
-    r = 0
-    state = (fkeys_d, ffw_d, fbw_d)
-    while r < depth:
-        packs = []
-        states = []
-        st = state
-        for _rr in range(r, depth):
-            states.append(st)
-            cap_r = min(cap, st[0].shape[0] * 8)
-            packed, nk, nf, nb = _expand_round(
-                st[0], st[1], st[2], sub_d, k, np.uint32(0), cap_r,
-                bits, tkeys=tkeys, tcov=tcov, tfw=tfw, tbw=tbw,
+
+    def process(p, cap_used):
+        """Unpack one round's [cap+1, 6] matrix into candidates.
+        Returns ('overflow'|'done'|'ok', survivor count)."""
+        cnt = int(p[0, 0])
+        if cnt > cap_used:
+            return "overflow", cnt
+        if cnt == 0:
+            return "done", 0
+        rows = p[1:cnt + 1]
+        keys_r = rows[:, 0]
+        cov_r = (rows[:, 1] & 0xFFFFFFFF).astype(np.uint32)
+        found_r = (rows[:, 1] >> np.uint64(32)) != 0
+        fwb = np.empty((cnt, 4), np.uint32)
+        bwb = np.empty((cnt, 4), np.uint32)
+        for w, col in ((0, 2), (2, 3)):
+            fwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
+            fwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
+                .astype(np.uint32)
+        for w, col in ((0, 4), (2, 5)):
+            bwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
+            bwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
+                .astype(np.uint32)
+        hit = np.nonzero(found_r)[0]
+        if hit.size == 0:
+            return "done", cnt
+        _bulk_nodes(candidates, keys_r[hit], fwb[hit], bwb[hit],
+                    cov_r[hit])
+        return "ok", cnt
+
+    while True:  # overflow restart loop (cap only grows)
+        cap1 = min(cap, fkeys_d.shape[0] * 8)
+        packed1, nk, nf, nb = _expand_round(
+            fkeys_d, ffw_d, fbw_d, sub_d, k, np.uint32(0), cap1, bits,
+            tkeys=tkeys, tcov=tcov, tfw=tfw, tbw=tbw, tstarts=tstarts)
+        status, cnt = process(np.asarray(packed1), cap1)
+        if status == "overflow":
+            cap = 1 << int(np.ceil(np.log2(cnt)))
+            continue
+        if status == "done" or depth <= 1:
+            return
+        st = (nk, nf, nb)
+        r = 1
+        restart = False
+        while r < depth:
+            packs, st = _expand_rounds_scan(
+                st[0], st[1], st[2], sub_d, k, np.uint32(0), cap,
+                bits, R, tkeys=tkeys, tcov=tcov, tfw=tfw, tbw=tbw,
                 tstarts=tstarts)
-            try:
-                packed.copy_to_host_async()
-            except AttributeError:
-                pass
-            packs.append(packed)
-            st = (nk, nf, nb)
-        retry = False
-        for i, packed in enumerate(packs):
-            p = np.asarray(packed)
-            cnt = int(p[0, 0])
-            if cnt > min(cap, states[i][0].shape[0] * 8):
-                # overflow: redo from this round with a bigger cap
-                cap = 1 << int(np.ceil(np.log2(cnt)))
-                r = r + i
-                state = states[i]
-                retry = True
+            p = np.asarray(packs)
+            for i in range(min(R, depth - r)):
+                status, cnt = process(p[i], cap)
+                if status == "overflow":
+                    cap = 1 << int(np.ceil(np.log2(cnt)))
+                    restart = True
+                    break
+                r += 1
+                if status == "done":
+                    return
+            if restart:
                 break
-            if cnt == 0:
-                return
-            rows = p[1:cnt + 1]
-            keys_r = rows[:, 0]
-            cov_r = (rows[:, 1] & 0xFFFFFFFF).astype(np.uint32)
-            found_r = (rows[:, 1] >> np.uint64(32)) != 0
-            fwb = np.empty((cnt, 4), np.uint32)
-            bwb = np.empty((cnt, 4), np.uint32)
-            for w, col in ((0, 2), (2, 3)):
-                fwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
-                fwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
-                    .astype(np.uint32)
-            for w, col in ((0, 4), (2, 5)):
-                bwb[:, w] = (rows[:, col] & 0xFFFFFFFF).astype(np.uint32)
-                bwb[:, w + 1] = (rows[:, col] >> np.uint64(32)) \
-                    .astype(np.uint32)
-            hit = np.nonzero(found_r)[0]
-            if hit.size == 0:
-                return
-            _bulk_nodes(candidates, keys_r[hit], fwb[hit], bwb[hit],
-                        cov_r[hit])
-        if not retry:
+        if not restart:
             return
 
 

@@ -114,21 +114,12 @@ def _survivors_core(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int,
     return count, out_vals, srk[:cap]
 
 
-@partial(jax.jit, static_argnums=(4, 6, 7))
-def _expand_round(keys, fw, bw, sub_sorted, k: int, cutoff,
-                  cap: int, bits: int, tkeys=None, tcov=None, tfw=None,
-                  tbw=None, tstarts=None):
-    """ONE device program per BFS round: survivor scan + first-wins
-    dedup + table probe + next-frontier masking.
-
-    Returns (packed, nkeys, nfw, nbw) where `packed` is a [cap+1, 6]
-    u64 matrix holding ALL the host bookkeeping for the round in ONE
-    readback — through a tunneled chip every blocking transfer costs
-    ~40 ms, and the per-stage traversal paid 6 per round.  Row 0 =
-    [survivor count, 0...]; row 1+i = [key, cov | found<<32, fw01,
-    fw23, bw01, bw23] of candidate i in scan order (key = SENTINEL
-    past the count).  The next-frontier outputs depend only on device
-    state, so callers can dispatch ALL rounds before draining any."""
+def _round_body(keys, fw, bw, sub_sorted, k: int, cutoff, cap: int,
+                bits: int, tkeys, tcov, tfw, tbw, tstarts):
+    """Traced body of one BFS round: survivor scan + first-wins dedup
+    + table probe + next-frontier masking.  Shared by the one-round
+    program (_expand_round) and the multi-round scan
+    (_expand_rounds_scan)."""
     from .kmers import probe_bucketed_dyn
 
     count, vals, _idx = _survivors_core(keys, fw, bw, sub_sorted, k,
@@ -152,6 +143,56 @@ def _expand_round(keys, fw, bw, sub_sorted, k: int, cutoff,
         axis=1)
     packed = jnp.concatenate([hdr, rows], axis=0)
     return packed, nkeys, nfw, nbw
+
+
+@partial(jax.jit, static_argnums=(4, 6, 7))
+def _expand_round(keys, fw, bw, sub_sorted, k: int, cutoff,
+                  cap: int, bits: int, tkeys=None, tcov=None, tfw=None,
+                  tbw=None, tstarts=None):
+    """ONE device program per BFS round.
+
+    Returns (packed, nkeys, nfw, nbw) where `packed` is a [cap+1, 6]
+    u64 matrix holding ALL the host bookkeeping for the round in ONE
+    readback — through a tunneled chip every blocking transfer costs
+    ~40 ms, and the per-stage traversal paid 6 per round.  Row 0 =
+    [survivor count, 0...]; row 1+i = [key, cov | found<<32, fw01,
+    fw23, bw01, bw23] of candidate i in scan order (key = SENTINEL
+    past the count).  The next-frontier outputs depend only on device
+    state, so callers can dispatch ALL rounds before draining any."""
+    return _round_body(keys, fw, bw, sub_sorted, k, cutoff, cap, bits,
+                       tkeys, tcov, tfw, tbw, tstarts)
+
+
+@partial(jax.jit, static_argnums=(4, 6, 7, 8))
+def _expand_rounds_scan(keys, fw, bw, sub_sorted, k: int, cutoff,
+                        cap: int, bits: int, nrounds: int,
+                        tkeys=None, tcov=None, tfw=None, tbw=None,
+                        tstarts=None):
+    """`nrounds` BFS rounds fused into ONE device program (lax.scan).
+
+    Round-4 profiling put the traversal's residual ~1.3 s/Mbp on
+    per-dispatch relay overhead across 6-8 chained _expand_round
+    programs (PERFORMANCE.md "Round-4 traversal"); fusing R rounds per
+    dispatch divides that overhead by R.  The frontier carry is the
+    fixed [cap]-shaped masked frontier (exactly what _expand_round
+    already returns), sub_sorted stays constant across rounds (same
+    semantics as the per-round path: within-round first-wins dedup
+    only — re-discoveries across rounds are dropped by the host dict,
+    reference scan order preserved).
+
+    Returns (packs [nrounds, cap+1, 6], final (keys, fw, bw)) — the
+    final carry feeds the next fused batch."""
+
+    def body(carry, _):
+        keys, fw, bw = carry
+        packed, nk, nf, nb = _round_body(
+            keys, fw, bw, sub_sorted, k, cutoff, cap, bits,
+            tkeys, tcov, tfw, tbw, tstarts)
+        return (nk, nf, nb), packed
+
+    carry, packs = jax.lax.scan(body, (keys, fw, bw), None,
+                                length=nrounds)
+    return packs, carry
 
 
 @partial(jax.jit, static_argnums=(4, 6))
