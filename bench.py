@@ -292,11 +292,16 @@ def child() -> None:
                                             validate_qv_sums_pallas)
 
         def probe_step_pallas(tkeys, cov, fw, bw, codes):
+            # hint path (sync=False): the production track loop's
+            # steady state; validity asserted after the timed loop
             return validate_positions_pallas(tkeys, cov, fw, bw, codes,
-                                             k, 0)
+                                             k, 0, sync=False,
+                                             with_depth_ok=True)
 
         try:
             dt_track = time_probe(probe_step_pallas)
+            chk = probe_step_pallas(tkeys, cov, fw, bw, asm)
+            assert int(chk[7]) == 1, "track grid-depth hint too small"
             extra["probe_track_step_ms"] = round(dt_track * 1e3, 2)
             if dt_track < dt_probe:
                 dt_probe, probe_path = dt_track, "pallas"

@@ -187,10 +187,20 @@ class DBG:
                     pending.append((res, a, b, lead_d, hi_d))
                     continue
                 if use_pallas and len(self.table):
+                    # hint-path first (no blocking grid-depth readback
+                    # per window); depth_ok==0 (rare key skew) re-runs
+                    # the window with the true depth
+                    res = validate_positions_pallas(
+                        tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
+                        self.ui.cov_cutoff, sync=False,
+                        with_depth_ok=True)
+                    if int(res[7]) == 0:
+                        res = validate_positions_pallas(
+                            tkeys, tcov, tfw, tbw, jnp.asarray(buf),
+                            k, self.ui.cov_cutoff, sync=True,
+                            with_depth_ok=True)
                     (valid, missing, edge_missing, cov, isfw, right,
-                     left) = validate_positions_pallas(
-                         tkeys, tcov, tfw, tbw, jnp.asarray(buf), k,
-                         self.ui.cov_cutoff)
+                     left) = res[:7]
                 else:
                     use_merge, starts, bits, rounds = probe_params(
                         buf.shape[0])

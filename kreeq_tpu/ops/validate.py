@@ -292,15 +292,27 @@ def validate_qv_sums_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
     return PK._post_qv(out, sidx, sctx, lead, hi, nch, jnp.int32(dmax))
 
 
+@jax.jit
+def _depth_ok(nch, dmax):
+    return (jnp.max(nch) <= dmax).astype(jnp.int64)
+
+
 def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
-                              cutoff: int):
+                              cutoff: int, sync: bool = True,
+                              with_depth_ok: bool = False):
     """validate_positions with the probe running through the Pallas
     streaming merge kernel + context selection + keyed-sort restore —
     the row-gather-free fast path, 2 XLA dispatches + the kernel.
+    Same outputs as validate_positions.
 
-    Host-level: the kernel wrapper reads back the max table-chunk span
-    per query tile to pick its static grid depth, so this cannot live
-    inside one jit.  Same outputs as validate_positions.
+    With sync=True (default) the wrapper reads back the max
+    table-chunk span per query tile to pick its static grid depth —
+    a blocking ~26 ms pipeline bubble through the tunnel, but outputs
+    are unconditionally correct.  sync=False uses the cached per-shape
+    depth hint instead (same scheme as validate_qv_sums_pallas) —
+    callers MUST then pass with_depth_ok=True and check the appended
+    depth_ok device scalar when consuming the outputs (0 = hint too
+    small, re-run the window with sync=True).
     """
     from . import pallas_kernels as PK
 
@@ -310,14 +322,21 @@ def validate_positions_pallas(tkeys, tcov, tfw, tbw, codes, k: int,
 
         keys, isfw, valid, ctx = _extract_ctx(codes, k)
         sel = probe_select_pallas(tkeys, tcov, tfw, tbw, keys, ctx)
-        return _classify_sel(codes, sel, k, cutoff, isfw=isfw,
-                             valid=valid)
+        res = _classify_sel(codes, sel, k, cutoff, isfw=isfw,
+                            valid=valid)
+        return (*res, jnp.int64(1)) if with_depth_ok else res
     (sidx, sctx, qhi, qlo, base, nch, isfw,
      valid) = _prep_sel_fused(tkeys, codes, k)
-    dmax = PK._grid_depth(nch)
     thi, tlo, pay = PK._cached_pack_table(tkeys, tcov, tfw, tbw)
     nq_tiles = qhi.shape[0] // PK.QT
+    hkey = (thi.shape[1] // PK.TT, nq_tiles)
+    dmax = None if sync else PK.get_dmax_hint(tkeys, hkey)
+    if dmax is None:
+        dmax = PK._grid_depth(nch)  # blocking readback
+        PK.set_dmax_hint(tkeys, hkey, dmax)
     out = PK._probe_run_sel2(qhi, qlo, sctx, thi, tlo, pay, nq_tiles,
                              dmax, base=base, nch=nch)
-    return _post_sel_fused2(out, sidx, isfw, valid, k, cutoff,
-                            codes=codes)
+    res = _post_sel_fused2(out, sidx, isfw, valid, k, cutoff,
+                           codes=codes)
+    return (*res, _depth_ok(nch, jnp.int32(dmax))) \
+        if with_depth_ok else res
