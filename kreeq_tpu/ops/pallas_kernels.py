@@ -34,10 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256
-CTILE = 512  # count-kernel tile: the streaming aggregation is grid-
-# step-bound (~1.4 us/step), so it runs wider tiles than the
-# merge/probe kernels (the MXU prefix/compaction matmuls grow as
-# CTILE^2 but stay cheap at bf16)
+# count-kernel tile: the streaming aggregation is grid-step-bound
+# (~1.4 us/step), so it runs wider tiles than the merge/probe kernels
+# (the MXU prefix/compaction matmuls grow as CTILE^2 but stay cheap at
+# bf16).  KREEQ_TPU_COUNT_TILE is an on-chip tuning knob (part of the
+# pallas auto-gate fingerprint — a changed tile re-earns its verdict).
+CTILE = int(os.environ.get("KREEQ_TPU_COUNT_TILE", "512"))
 NCOL = 16  # 9 sums + 4 key u16 limbs + padding
 
 # Every dot_general whose data operand carries more than 8 significant

@@ -67,7 +67,7 @@ def _fingerprint() -> str:
     knobs = ",".join(
         f"{k}={os.environ.get(k, '')}" for k in
         ("KREEQ_TPU_MERGE_DEBUG", "KREEQ_TPU_MERGE_TILE",
-         "KREEQ_TPU_MERGE_SMEM_BUDGET"))
+         "KREEQ_TPU_MERGE_SMEM_BUDGET", "KREEQ_TPU_COUNT_TILE"))
     return "|".join((jax.__version__, jaxlib_v, plugin_v,
                      getattr(dev, "device_kind", ""), dev.platform,
                      ksrc, knobs))
