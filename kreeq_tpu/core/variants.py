@@ -341,14 +341,119 @@ def dbg_to_variants(dbg, seg) -> None:
     win = _variants_window_cap()
     lh = max_span                 # left halo (positions)
     rh = k + max_span + 1         # right halo (positions)
+    from ..utils import log
+
+    wins = []
     for wa in range(0, kcount, win):
         wb = min(wa + win, kcount)
-        lo = max(0, wa - lh)
-        hi = min(kcount, wb + rh)
+        wins.append((wa, wb, max(0, wa - lh), min(kcount, wb + rh)))
+    nwin = len(wins)
+
+    if table.window_ranges() is not None:
+        # out-of-core table: INVERTED rescan (reference analog:
+        # map-range windows outer, rescan the sequence inner —
+        # src/variants.cpp:75-152).  Each table window uploads ONCE;
+        # per-sequence-window probe partials combine on the host
+        # (window key ranges are disjoint, so at most one window finds
+        # any query).  The per-window inner pager (probe_device) would
+        # otherwise re-upload EVERY table window per sequence window —
+        # ~110 GB for a 100 Mbp segment against a 100M-row table.
+        _scan_windows_inverted(dbg, seg, codes, wins, kcount, k,
+                               max_span, cutoff, table, cache,
+                               variants)
+        seg.variants = variants
+        return
+
+    for wi, (wa, wb, lo, hi) in enumerate(wins):
+        # per-window progress is load-bearing at scale: long-running
+        # CLI phases are watchdogged on output cadence (soak harness)
+        log.verbose(f"variants window {wi + 1}/{nwin} "
+                    f"[{wa}, {wb}) of {kcount}")
         _scan_window_variants(dbg, seg, codes, lo, hi, wa, wb, kcount,
                               k, max_span, cutoff, table, cache,
                               variants)
+        if log.verbose_flag:
+            log.verbose(f"variants window {wi + 1}/{nwin} done "
+                        f"({len(variants)} positions with variants)")
     seg.variants = variants
+
+
+def _win_cbuf(codes, lo: int, hi: int, k: int):
+    """BAD-padded pow2 codes buffer feeding positions [lo, hi)."""
+    import numpy as np
+
+    nbase = hi - lo + k - 1
+    pad = max(64, 1 << int(np.ceil(np.log2(nbase))))
+    cbuf = np.full(pad, 4, np.uint8)
+    cbuf[:nbase] = codes[lo:lo + nbase]
+    return cbuf
+
+
+def _scan_windows_inverted(dbg, seg, codes, wins, kcount: int, k: int,
+                           max_span: int, cutoff: int, table, cache,
+                           variants) -> None:
+    """Two-pass variants scan for out-of-core tables.
+
+    Pass 1 (table windows OUTER): for each device-resident table
+    window, probe every sequence window's keys and fold the partial
+    (found, cov, fw, bw) into host accumulators — found masks are
+    disjoint across table windows.  Pass 2: per sequence window,
+    re-upload the combined probe result, run the depth-0 candidate
+    scan on device, and hand off to the host search exactly like the
+    in-core path.  Transfers: each table window uploads once + one
+    combined re-upload per sequence window (~6x less tunnel traffic
+    than paging the table inside every sequence window at 100 Mbp /
+    100M rows)."""
+    from functools import partial as _partial
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import log
+
+    ranges = table.window_ranges()
+    extract = jax.jit(_extract_sentinel, static_argnums=(1,))
+    partials = [None] * len(wins)
+    for w in range(len(ranges)):
+        arrays = table.device_arrays(w)
+        for wi, (wa, wb, lo, hi) in enumerate(wins):
+            log.verbose(f"variants probe: table window "
+                        f"{w + 1}/{len(ranges)}, seq window "
+                        f"{wi + 1}/{len(wins)}")
+            cbuf = _win_cbuf(codes, lo, hi, k)
+            keys, _isfw, valid = extract(jnp.asarray(cbuf), k)
+            found, cv, fu, bu = table._probe_one(
+                arrays, keys, lambda w=w: table.bucket_index(w))
+            found = np.asarray(found) & np.asarray(valid)
+            # np.asarray of a device buffer is read-only; later table
+            # windows fold into these in place, so materialize copies
+            cv, fu, bu = (np.array(x) for x in (cv, fu, bu))
+            if partials[wi] is None:
+                partials[wi] = [found, cv, fu, bu]
+            else:
+                acc = partials[wi]
+                acc[0] |= found
+                acc[1][found] = cv[found]
+                acc[2][found] = fu[found]
+                acc[3][found] = bu[found]
+    scan = jax.jit(_partial(_candidate_scan, k=k))
+    for wi, (wa, wb, lo, hi) in enumerate(wins):
+        log.verbose(f"variants search: seq window {wi + 1}/{len(wins)}")
+        cbuf = _win_cbuf(codes, lo, hi, k)
+        keys, isfw, valid = extract(jnp.asarray(cbuf), k)
+        found, cv, fu, bu = partials[wi]
+        partials[wi] = None  # free as we go
+        out = scan(keys, isfw, jnp.asarray(found) & valid,
+                   jnp.asarray(cv), jnp.asarray(fu), jnp.asarray(bu),
+                   jnp.uint32(cutoff))
+        _search_from_scan(dbg, codes, lo, hi, wa, wb, kcount, k,
+                          max_span, cutoff, cache, variants, out)
+        if log.verbose_flag:
+            log.verbose(f"variants search: seq window "
+                        f"{wi + 1}/{len(wins)} done "
+                        f"({len(variants)} positions with variants)")
 
 
 def _scan_window_variants(dbg, seg, codes, lo: int, hi: int, wa: int,
@@ -392,6 +497,22 @@ def _scan_window_variants(dbg, seg, codes, lo: int, hi: int, wa: int,
         all_keys_d, isfw_d, search_d, covs, fws, bws = _scan_probe(
             tkeys, tcov, tfw, tbw, starts, jnp.asarray(cbuf),
             jnp.uint32(cutoff), k, use_merge, bits, rounds)
+    _search_from_scan(dbg, codes, lo, hi, wa, wb, kcount, k, max_span,
+                      cutoff, cache, variants,
+                      (all_keys_d, isfw_d, search_d, covs, fws, bws))
+
+
+def _search_from_scan(dbg, codes, lo: int, hi: int, wa: int, wb: int,
+                      kcount: int, k: int, max_span: int, cutoff: int,
+                      cache, variants, scan_out) -> None:
+    """Host tail of one variants window: reconstruct the reference's
+    sliding targets state and run the exact Fibonacci-heap search on
+    the branch points the device scan selected.  scan_out =
+    (all_keys_d, isfw_d, search_d, covs, fws, bws) from either probe
+    path (in-core fused or inverted out-of-core)."""
+    import numpy as np
+
+    all_keys_d, isfw_d, search_d, covs, fws, bws = scan_out
     all_keys = np.asarray(all_keys_d)  # host: targets windows need all
     all_isfw = np.asarray(isfw_d)
     nloc = hi - lo                     # real (non-pad) buffer positions

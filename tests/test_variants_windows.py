@@ -97,3 +97,31 @@ def test_synthetic_multiwindow_variants_match(tmp_path, monkeypatch):
     tiny = _variants_of(ap, rp, 100, monkeypatch)
     assert big == small == tiny
     assert sum(len(v) for v in big) >= 10  # the planted errors surfaced
+
+
+def test_inverted_rescan_out_of_core_table(tmp_path, monkeypatch):
+    """Forcing a tiny TABLE window cap routes the scan through the
+    inverted out-of-core path (table windows outer, pass-1 host
+    partials, pass-2 candidate scan) — outputs must match the in-core
+    scan bit-for-bit, with and without a forced variants window cap."""
+    rng = np.random.default_rng(12)
+    genome_seq = "".join(rng.choice(list("ACGT"), size=4000))
+    rp = str(tmp_path / "r.fasta")
+    with open(rp, "w") as fh:
+        for i in range(0, 3850, 30):
+            fh.write(f">r{i}\n{genome_seq[i:i + 150]}\n")
+    asm = list(genome_seq)
+    for pos in (300, 1024, 2222, 3500):
+        asm[pos] = "ACGT"[("ACGT".index(asm[pos]) + 1) % 4]
+    asm.insert(1700, "G")
+    del asm[2900]
+    ap = str(tmp_path / "a.fasta")
+    with open(ap, "w") as fh:
+        fh.write(">a\n" + "".join(asm) + "\n")
+
+    incore = _variants_of(ap, rp, None, monkeypatch)
+    monkeypatch.setenv("KREEQ_TPU_MAX_TABLE_ROWS", "500")  # many windows
+    inverted = _variants_of(ap, rp, None, monkeypatch)
+    inverted_win = _variants_of(ap, rp, 256, monkeypatch)
+    assert incore == inverted == inverted_win
+    assert sum(len(v) for v in incore) >= 5
