@@ -229,3 +229,35 @@ def test_warmup_mode(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "programs compiled/cached" in out
+
+
+def test_verbose_heartbeat_bounded(monkeypatch, capsys):
+    """The verbose heartbeat (soak-watchdog liveness during silent XLA
+    compiles) emits while idle, stands down after the max-silent bound
+    so a genuine wedge still trips log-growth watchdogs, and re-arms on
+    the next real message."""
+    import importlib
+    import time as _time
+
+    monkeypatch.setenv("KREEQ_TPU_HEARTBEAT_S", "0.2")
+    monkeypatch.setenv("KREEQ_TPU_HEARTBEAT_MAX_SILENT_S", "0.7")
+    from kreeq_tpu.utils import log as _log
+
+    log = importlib.reload(_log)
+    try:
+        log.set_flags(verbose=True)
+        log.verbose("real")
+        _time.sleep(1.3)  # a few beats, then past the bound
+        err = capsys.readouterr().err
+        assert "heartbeat: alive" in err
+        assert "standing down" in err
+        assert not log._hb_thread.is_alive()
+
+        log.verbose("real again")  # re-arms
+        _time.sleep(0.5)
+        err = capsys.readouterr().err
+        assert "heartbeat: alive" in err
+        assert log._hb_thread.is_alive()
+    finally:
+        log.set_flags(verbose=False)  # silence the reloaded module
+        importlib.reload(_log)        # restore shared module state
