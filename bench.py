@@ -122,9 +122,9 @@ def _pallas_ok(timeout_s: int = 420) -> bool:
     KREEQ_TPU_BENCH_PALLAS=0 skips, =1 forces (no subprocess check)."""
     force = os.environ.get("KREEQ_TPU_BENCH_PALLAS")
     if force == "0":
-        return False
+        return False, None
     if force == "1":
-        return True
+        return True, None
     env = dict(os.environ)
     env["KREEQ_TPU_PALLAS"] = "auto"
     try:
@@ -134,9 +134,14 @@ def _pallas_ok(timeout_s: int = 420) -> bool:
              "pallas_enabled; sys.exit(0 if pallas_enabled() else 1)"],
             timeout=timeout_s, capture_output=True,
             env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+        return r.returncode == 0, None
+    except subprocess.TimeoutExpired:
+        # a COLD verdict (fresh machine, empty selfcheck cache) can
+        # outlast the bound; report the reason so an XLA-only artifact
+        # is legible as "gate timed out", not "kernels lost on-chip"
+        return False, "gate_timeout"
+    except OSError:
+        return False, "gate_oserror"
 
 
 def child() -> None:
@@ -145,7 +150,7 @@ def child() -> None:
     # the Pallas go/no-go subprocess runs before this process touches
     # the backend (single tunneled chip — no concurrent clients)
     print("stage: pallas gate", flush=True)
-    pallas_ok = _pallas_ok() if avail else False
+    pallas_ok, gate_reason = _pallas_ok() if avail else (False, None)
 
     import jax
 
@@ -169,6 +174,8 @@ def child() -> None:
 
     extra = {"k": k, "chunk_bases": chunk,
              "pallas_onchip_ok": pallas_ok}
+    if gate_reason:
+        extra["pallas_gate_skipped"] = gate_reason
 
     def emit(count_rate):
         result = {
