@@ -74,11 +74,19 @@ def _compile_set(k: int, chunk: int, window: int, small: bool) -> int:
         tk = tkeys[:t]
         tc, tf, tb = cov[:t], fw[:t], bw[:t]
         if use_pallas:
-            from ..ops.validate import validate_positions_pallas
+            from ..ops.validate import (validate_positions_pallas,
+                                        validate_qv_sums_pallas)
 
             tick(f"probe-select t={t}",
                  lambda: validate_positions_pallas(tk, tc, tf, tb, wbuf,
                                                    k, 0))
+            # the sums-only QV fast path — what plain `validate` (no
+            # track output) runs per window
+            p_hi = jnp.uint32(wbuf.shape[0] - k + 1)
+            tick(f"probe-qv t={t}",
+                 lambda: validate_qv_sums_pallas(tk, tc, tf, tb, wbuf,
+                                                 k, 0, jnp.uint32(0),
+                                                 p_hi))
         else:
             bits = min(max(8, int(np.ceil(np.log2(max(t, 2)))) + 1), 24,
                        2 * k)
@@ -90,6 +98,38 @@ def _compile_set(k: int, chunk: int, window: int, small: bool) -> int:
                  lambda: validate_positions(tk, tc, tf, tb, starts, wbuf,
                                             k, 0, bits, rounds,
                                             use_merge))
+
+    # 4. the variants fused scan-probe (`-o vcf` / `-o gfa` paths) at
+    # the production window: extraction + sentinels + probe + depth-0
+    # candidate scan in one program.  A cold compile of exactly this
+    # program is what a >15-min silent VCF phase looks like; warm it.
+    # (Traversal's frontier programs are deliberately NOT warmed: their
+    # shapes depend on run-specific subgraph/frontier pow2 sizes.)
+    from ..core.variants import _scan_probe_fn, _variants_window_cap
+
+    vwin = _variants_window_cap() if not small else (1 << 10)
+    nbase = vwin + 2 * k + 12  # core + max_span/k+max_span+1 halos
+    vpad = max(64, 1 << int(np.ceil(np.log2(nbase))))
+    vbuf = jnp.asarray(rng.integers(0, 4, vpad).astype(np.uint8))
+    scan_probe = _scan_probe_fn()
+    for b in (buckets if not small else buckets[:1]):
+        t = min(b, tkeys.shape[0])
+        tk = tkeys[:t]
+        tc, tf, tb = cov[:t], fw[:t], bw[:t]
+        use_merge = t <= 6 * (vpad - k + 1)
+        if use_merge:
+            bits_v, rounds_v = 8, 1
+            starts_v = jnp.zeros((1 << bits_v) + 1, jnp.int32)
+        else:
+            bits_v = min(max(8, int(np.ceil(np.log2(max(t, 2)))) + 1),
+                         24, 2 * k)
+            starts_v = K.build_bucket_index(tk, k, bits_v)
+            counts_v = np.diff(np.asarray(starts_v))
+            rounds_v = max(1, int(np.ceil(np.log2(counts_v.max() + 1))))
+        tick(f"variants-scan t={t}",
+             lambda: scan_probe(tk, tc, tf, tb, starts_v, vbuf,
+                                jnp.uint32(0), k, use_merge, bits_v,
+                                rounds_v))
     return n_compiled
 
 
